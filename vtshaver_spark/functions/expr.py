@@ -1,0 +1,897 @@
+"""GL filter / expression AST -> PySpark Column compiler.
+
+This is the engine's query language: the same filter language the
+reference accepts (legacy filter syntax + GL expression syntax, per the
+public Mapbox style-spec), compiled to Catalyst ``Column`` predicates so
+filter evaluation runs inside whole-stage codegen — no Python in the
+row loop.
+
+Dispatch parity with the reference (mbgl-core conversion, exercised by
+/root/reference/test/vtshaver.test.js:697-706): a filter is parsed in
+*expression* mode iff ``is_expression_filter`` says so; otherwise the
+legacy parser runs, and legacy comparison operators require a plain
+string property name — an array there raises the reference's
+"filter property must be a string", which ``Filters`` surfaces as
+"Unable to create Filter object, ensure all filters are expression-based".
+
+Data model: feature properties live in a ``map<string,string>`` column
+(MVT's dynamic key table); numeric/boolean property semantics are
+recovered via ``try_cast`` at compile time, mirroring the reference's
+value widening (/root/reference/src/shave.cpp:73-78).
+
+GL null semantics encoded here (pinned by reference tests):
+ - legacy ``==`` / ``<`` etc: absent key or type mismatch -> false
+ - legacy ``!=`` / ``!in``: absent key -> **true** (null-safe negation)
+ - expression ``==`` / ``!=``: null operand -> evaluation error -> false
+   in filter context (plain SQL null propagation does this for free)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from vtshaver_spark.errors import FilterError
+from vtshaver_spark.errors import MSG_LEGACY_PROPERTY
+
+_LEGACY_COMPARE = ("==", "!=", ">", "<", ">=", "<=")
+
+
+@dataclass
+class FilterContext:
+    """Column bindings for filter compilation.
+
+    ``zoom`` may be a Python number (bound per-job, constant-folded by
+    Catalyst) or a Column (per-row zoom, e.g. ``F.col("z")``).
+    """
+
+    props: str = "props"
+    geom_type: str = "geom_type"
+    feature_id: str = "feature_id"
+    zoom: Union[float, Column] = 0.0
+    env: dict = field(default_factory=dict)  # ["let"/"var"] bindings
+
+    def zoom_col(self) -> Column:
+        if isinstance(self.zoom, Column):
+            return self.zoom
+        return F.lit(float(self.zoom))
+
+    def prop(self, key: str) -> Column:
+        return F.col(self.props)[key]
+
+
+# ---------------------------------------------------------------------------
+# Dispatch: expression vs legacy (mbgl conversion/filter.cpp semantics)
+# ---------------------------------------------------------------------------
+
+def is_expression_filter(filt: Any) -> bool:
+    if filt is True or filt is False:
+        return True
+    if not isinstance(filt, list) or len(filt) == 0:
+        return False
+    op = filt[0]
+    if not isinstance(op, str):
+        return False
+    if op == "has":
+        return len(filt) >= 2 and filt[1] not in ("$id", "$type")
+    if op in ("in", "!in", "!has", "none"):
+        return False
+    if op in _LEGACY_COMPARE:
+        return (
+            len(filt) != 3
+            or isinstance(filt[1], list)
+            or isinstance(filt[2], list)
+        )
+    if op in ("any", "all"):
+        return all(
+            isinstance(child, bool) or is_expression_filter(child)
+            for child in filt[1:]
+        )
+    return True
+
+
+def filter_to_column(filt: Any, ctx: FilterContext) -> Column:
+    """Compile a GL filter (either syntax) to a boolean Column.
+
+    The returned predicate treats SQL NULL as "drop" (Spark's
+    ``DataFrame.filter`` already does), matching GL's
+    evaluation-error -> false behavior.
+    """
+    if filt is True or filt is None:
+        return F.lit(True)
+    if filt is False:
+        return F.lit(False)
+    if is_expression_filter(filt):
+        return _Expr(ctx).compile_boolean(filt)
+    return _compile_legacy(filt, ctx)
+
+
+def validate_filter(filt: Any) -> None:
+    """Parse-only pass (no SparkSession needed): raises FilterError on
+    malformed filters with reference-parity messages."""
+    ctx = FilterContext(zoom=0.0)
+    _walk_validate(filt, ctx)
+
+
+def _walk_validate(filt: Any, ctx: FilterContext) -> None:
+    if filt is True or filt is False or filt is None:
+        return
+    if not isinstance(filt, list) or len(filt) == 0:
+        raise FilterError("filter value must be a non-empty array or boolean")
+    if is_expression_filter(filt):
+        _ExprValidate(ctx).compile_boolean(filt)
+        return
+    op = filt[0]
+    if op in ("all", "any", "none"):
+        for child in filt[1:]:
+            if isinstance(child, bool):
+                continue
+            if not isinstance(child, list):
+                raise FilterError(MSG_LEGACY_PROPERTY)
+            _validate_legacy(child)
+        return
+    _validate_legacy(filt)
+
+
+def _validate_legacy(filt: list) -> None:
+    if len(filt) == 0 or not isinstance(filt[0], str):
+        raise FilterError("filter operator must be a string")
+    op = filt[0]
+    if op in ("all", "any", "none"):
+        for child in filt[1:]:
+            if isinstance(child, bool):
+                continue
+            if not isinstance(child, list):
+                raise FilterError(MSG_LEGACY_PROPERTY)
+            _validate_legacy(child)
+        return
+    if op in _LEGACY_COMPARE or op in ("in", "!in"):
+        if len(filt) < 2 or not isinstance(filt[1], str):
+            raise FilterError(MSG_LEGACY_PROPERTY)
+        return
+    if op in ("has", "!has"):
+        if len(filt) < 2 or not isinstance(filt[1], str):
+            raise FilterError(MSG_LEGACY_PROPERTY)
+        return
+    raise FilterError(f"filter operator '{op}' is not supported")
+
+
+# ---------------------------------------------------------------------------
+# Legacy filter syntax
+# ---------------------------------------------------------------------------
+
+def _typed_eq(prop: Column, value: Any, null_safe: bool) -> Column:
+    """One typed equality term. ``null_safe`` uses <=> (never NULL)."""
+    if isinstance(value, bool):
+        lit = F.lit("true" if value else "false")
+    elif isinstance(value, (int, float)):
+        prop = prop.try_cast("double")
+        lit = F.lit(float(value))
+    else:
+        lit = F.lit(value)
+    return prop.eqNullSafe(lit) if null_safe else (prop == lit)
+
+
+def _compile_legacy(filt: Any, ctx: FilterContext) -> Column:
+    if isinstance(filt, bool):
+        return F.lit(filt)
+    if not isinstance(filt, list) or len(filt) == 0:
+        raise FilterError("filter value must be a non-empty array or boolean")
+    op = filt[0]
+    if not isinstance(op, str):
+        raise FilterError("filter operator must be a string")
+
+    if op in ("all", "any", "none"):
+        children = [_compile_legacy(c, ctx) for c in filt[1:]]
+        if not children:
+            # empty ["all"] is true, empty ["any"] is false (GL spec)
+            return F.lit(op == "all")
+        if op == "all":
+            out = children[0]
+            for c in children[1:]:
+                out = out & c
+            return out
+        out = children[0]
+        for c in children[1:]:
+            out = out | c
+        return ~out if op == "none" else out
+
+    if op in _LEGACY_COMPARE:
+        if len(filt) != 3 or not isinstance(filt[1], str):
+            raise FilterError(MSG_LEGACY_PROPERTY)
+        key, value = filt[1], filt[2]
+        lhs = _legacy_key_col(key, ctx)
+        if key == "$type":
+            eq = lhs == F.lit(value)
+            if op == "==":
+                return eq
+            if op == "!=":
+                return ~lhs.eqNullSafe(F.lit(value))
+            raise FilterError("ordered comparison not supported on $type")
+        if key == "$id" and isinstance(value, (int, float)) and not isinstance(value, bool):
+            rhs: Column = F.lit(value)
+        elif isinstance(value, bool):
+            rhs = F.lit("true" if value else "false")
+        elif isinstance(value, (int, float)):
+            lhs = lhs.try_cast("double")
+            rhs = F.lit(float(value))
+        else:
+            rhs = F.lit(value)
+        if op == "==":
+            return lhs == rhs
+        if op == "!=":
+            return ~lhs.eqNullSafe(rhs)  # absent key => true
+        if op == "<":
+            return lhs < rhs
+        if op == "<=":
+            return lhs <= rhs
+        if op == ">":
+            return lhs > rhs
+        return lhs >= rhs
+
+    if op in ("in", "!in"):
+        if len(filt) < 2 or not isinstance(filt[1], str):
+            raise FilterError(MSG_LEGACY_PROPERTY)
+        key = filt[1]
+        values = filt[2:]
+        lhs = _legacy_key_col(key, ctx)
+        terms = [_typed_eq(lhs, v, null_safe=True) for v in values]
+        if not terms:
+            membership = F.lit(False)
+        else:
+            membership = terms[0]
+            for t in terms[1:]:
+                membership = membership | t
+        return ~membership if op == "!in" else membership
+
+    if op in ("has", "!has"):
+        if len(filt) < 2 or not isinstance(filt[1], str):
+            raise FilterError(MSG_LEGACY_PROPERTY)
+        key = filt[1]
+        if key == "$id":
+            existence = F.col(ctx.feature_id).isNotNull()
+        elif key == "$type":
+            existence = F.lit(True)
+        else:
+            existence = F.map_contains_key(F.col(ctx.props), key)
+        return ~existence if op == "!has" else existence
+
+    raise FilterError(f"filter operator '{op}' is not supported")
+
+
+def _legacy_key_col(key: str, ctx: FilterContext) -> Column:
+    if key == "$type":
+        return F.col(ctx.geom_type)
+    if key == "$id":
+        return F.col(ctx.feature_id)
+    return ctx.prop(key)
+
+
+# ---------------------------------------------------------------------------
+# Expression syntax
+# ---------------------------------------------------------------------------
+
+_NUMBER_OPS = frozenset(
+    {
+        "zoom", "number", "to-number", "+", "-", "*", "/", "%", "^", "sqrt",
+        "log10", "ln", "log2", "sin", "cos", "tan", "asin", "acos", "atan",
+        "min", "max", "abs", "round", "floor", "ceil", "length", "id",
+        "index-of", "ln2", "pi", "e",
+    }
+)
+_STRING_OPS = frozenset(
+    {
+        "geometry-type", "string", "to-string", "concat", "downcase",
+        "upcase", "number-format", "slice",
+    }
+)
+_BOOLEAN_OPS = frozenset(
+    {
+        "boolean", "to-boolean", "==", "!=", ">", "<", ">=", "<=", "all",
+        "any", "!", "has", "in", "within",
+    }
+)
+
+
+class _Expr:
+    """Recursive-descent compiler: GL expression -> Column.
+
+    Tracks a light-weight type tag per node ('number' | 'string' |
+    'boolean' | 'value' | 'array' | 'null') to drive comparison
+    coercion against the string-typed property map.
+    """
+
+    def __init__(self, ctx: FilterContext):
+        self.ctx = ctx
+        self.env: dict = dict(ctx.env)
+
+    # -- public ------------------------------------------------------------
+    def compile_boolean(self, e: Any) -> Column:
+        col, _ = self.compile(e)
+        return col
+
+    # -- type inference ----------------------------------------------------
+    def infer(self, e: Any) -> str:
+        if isinstance(e, bool):
+            return "boolean"
+        if isinstance(e, (int, float)):
+            return "number"
+        if isinstance(e, str):
+            return "string"
+        if e is None:
+            return "null"
+        if not isinstance(e, list) or not e or not isinstance(e[0], str):
+            return "value"
+        op = e[0]
+        if op in _NUMBER_OPS:
+            return "number"
+        if op in _STRING_OPS:
+            return "string"
+        if op in _BOOLEAN_OPS:
+            return "boolean"
+        if op == "literal":
+            return self.infer(e[1]) if len(e) > 1 and not isinstance(e[1], list) else "array"
+        if op in ("match", "case"):
+            # type of the first output branch
+            if op == "match" and len(e) >= 4:
+                return self.infer(e[3])
+            if op == "case" and len(e) >= 3:
+                return self.infer(e[2])
+            return "value"
+        if op == "step" and len(e) >= 3:
+            return self.infer(e[2])
+        if op == "coalesce" and len(e) >= 2:
+            return self.infer(e[1])
+        if op == "interpolate":
+            return "number"
+        if op == "var":
+            bound = self.env.get(e[1]) if len(e) > 1 else None
+            return bound[1] if bound else "value"
+        return "value"
+
+    # -- core --------------------------------------------------------------
+    def compile(self, e: Any) -> tuple:
+        """Returns (Column, type_tag)."""
+        if isinstance(e, bool):
+            return F.lit(e), "boolean"
+        if isinstance(e, (int, float)):
+            return F.lit(float(e) if isinstance(e, float) else e), "number"
+        if isinstance(e, str):
+            return F.lit(e), "string"
+        if e is None:
+            return F.lit(None), "null"
+        if not isinstance(e, list) or len(e) == 0:
+            raise FilterError(f"invalid expression: {e!r}")
+        op = e[0]
+        if not isinstance(op, str):
+            raise FilterError(f"invalid expression operator: {op!r}")
+        method = getattr(self, "_op_" + _py_name(op), None)
+        if method is None:
+            raise FilterError(f"expression operator '{op}' is not supported")
+        return method(e)
+
+    # -- coercion helpers --------------------------------------------------
+    def as_number(self, e: Any) -> Column:
+        col, tag = self.compile(e)
+        if tag == "number":
+            return col
+        return col.try_cast("double")
+
+    def as_string(self, e: Any) -> Column:
+        col, tag = self.compile(e)
+        if tag == "string":
+            return col
+        return col.cast("string")
+
+    def as_boolean(self, e: Any) -> Column:
+        col, tag = self.compile(e)
+        if tag == "boolean":
+            return col
+        if tag in ("string", "value"):
+            return F.when(col == "true", F.lit(True)).when(
+                col == "false", F.lit(False)
+            )
+        return col.cast("boolean")
+
+    # -- literals / lookups ------------------------------------------------
+    def _op_literal(self, e: list):
+        v = e[1] if len(e) > 1 else None
+        if isinstance(v, list):
+            return F.array([F.lit(x) for x in v]), "array"
+        col, tag = self.compile(v)
+        return col, tag
+
+    def _op_get(self, e: list):
+        if len(e) != 2 or not isinstance(e[1], str):
+            raise FilterError("'get' expects a single string key")
+        return self.ctx.prop(e[1]), "value"
+
+    def _op_has(self, e: list):
+        if len(e) != 2 or not isinstance(e[1], str):
+            raise FilterError("'has' expects a single string key")
+        return F.map_contains_key(F.col(self.ctx.props), e[1]), "boolean"
+
+    def _op_properties(self, e: list):
+        return F.col(self.ctx.props), "value"
+
+    def _op_feature_state(self, e: list):
+        # Rendering-time state: never present in tile data; evaluates null
+        # (reference parity: collected as a property but unevaluable —
+        # lib/styleToFilters.js:190).
+        return F.lit(None).cast("string"), "null"
+
+    def _op_geometry_type(self, e: list):
+        return F.col(self.ctx.geom_type), "string"
+
+    def _op_id(self, e: list):
+        return F.col(self.ctx.feature_id), "number"
+
+    def _op_zoom(self, e: list):
+        return self.ctx.zoom_col(), "number"
+
+    # -- decision ----------------------------------------------------------
+    def _op_match(self, e: list):
+        if len(e) < 5 or len(e) % 2 == 0:
+            raise FilterError("'match' expects input, label/output pairs, fallback")
+        input_col, input_tag = self.compile(e[1])
+        pairs = e[2:-1]
+        fallback = e[-1]
+        out_tag = self.infer(e[3])
+        result = None
+        for i in range(0, len(pairs), 2):
+            labels = pairs[i]
+            output = pairs[i + 1]
+            if not isinstance(labels, list):
+                labels = [labels]
+            numeric = any(
+                isinstance(l, (int, float)) and not isinstance(l, bool)
+                for l in labels
+            )
+            probe = input_col.try_cast("double") if (numeric and input_tag != "number") else input_col
+            lits = [
+                F.lit(float(l))
+                if numeric and isinstance(l, (int, float)) and not isinstance(l, bool)
+                else F.lit(l)
+                for l in labels
+            ]
+            cond = probe.isin(*lits) if len(lits) > 1 else probe.eqNullSafe(lits[0])
+            out_col, _ = self.compile(output)
+            result = (
+                F.when(cond, out_col)
+                if result is None
+                else result.when(cond, out_col)
+            )
+        fb_col, _ = self.compile(fallback)
+        return result.otherwise(fb_col), out_tag
+
+    def _op_case(self, e: list):
+        if len(e) < 4 or len(e) % 2 != 0:
+            raise FilterError("'case' expects cond/output pairs plus fallback")
+        out_tag = self.infer(e[2])
+        result = None
+        body = e[1:-1]
+        for i in range(0, len(body), 2):
+            cond = self.as_boolean(body[i])
+            out_col, _ = self.compile(body[i + 1])
+            result = (
+                F.when(cond, out_col) if result is None else result.when(cond, out_col)
+            )
+        fb_col, _ = self.compile(e[-1])
+        return result.otherwise(fb_col), out_tag
+
+    def _op_step(self, e: list):
+        if len(e) < 3:
+            raise FilterError("'step' expects input, base output, stops")
+        input_col = self.as_number(e[1])
+        out_tag = self.infer(e[2])
+        base, _ = self.compile(e[2])
+        stops = e[3:]
+        if not stops:
+            return base, out_tag
+        result = F.when(input_col < F.lit(float(stops[0])), base)
+        for i in range(0, len(stops) - 2, 2):
+            upper = float(stops[i + 2])
+            out_col, _ = self.compile(stops[i + 1])
+            result = result.when(input_col < F.lit(upper), out_col)
+        last_col, _ = self.compile(stops[-1])
+        return result.otherwise(last_col), out_tag
+
+    def _op_interpolate(self, e: list):
+        # Linear interpolation over numeric stops; exponential/cubic bases
+        # are rendering refinements — for predicate purposes linear is the
+        # semantics the reference's filters exercise.
+        if len(e) < 5:
+            raise FilterError("'interpolate' expects type, input, stops")
+        input_col = self.as_number(e[2])
+        stops = e[3:]
+        xs = [float(stops[i]) for i in range(0, len(stops), 2)]
+        ys = [self.as_number(stops[i + 1]) for i in range(0, len(stops), 2)]
+        result = ys[0]
+        acc = F.when(input_col <= F.lit(xs[0]), ys[0])
+        for i in range(len(xs) - 1):
+            x0, x1 = xs[i], xs[i + 1]
+            frac = (input_col - F.lit(x0)) / F.lit(x1 - x0)
+            seg = ys[i] + frac * (ys[i + 1] - ys[i])
+            acc = acc.when(input_col < F.lit(x1), seg)
+        return acc.otherwise(ys[-1]), "number"
+
+    def _op_coalesce(self, e: list):
+        cols = [self.compile(sub)[0] for sub in e[1:]]
+        return F.coalesce(*cols), self.infer(e[1]) if len(e) > 1 else "value"
+
+    def _op_let(self, e: list):
+        if len(e) < 4 or len(e) % 2 != 0:
+            raise FilterError("'let' expects name/value pairs plus result")
+        for i in range(1, len(e) - 1, 2):
+            name = e[i]
+            col, tag = self.compile(e[i + 1])
+            self.env[name] = (col, tag)
+        return self.compile(e[-1])
+
+    def _op_var(self, e: list):
+        name = e[1] if len(e) > 1 else None
+        if name not in self.env:
+            raise FilterError(f"unbound variable '{name}'")
+        return self.env[name]
+
+    # -- boolean -----------------------------------------------------------
+    def _op_all(self, e: list):
+        cols = [self.as_boolean(sub) for sub in e[1:]]
+        if not cols:
+            return F.lit(True), "boolean"
+        out = cols[0]
+        for c in cols[1:]:
+            out = out & c
+        return out, "boolean"
+
+    def _op_any(self, e: list):
+        cols = [self.as_boolean(sub) for sub in e[1:]]
+        if not cols:
+            return F.lit(False), "boolean"
+        out = cols[0]
+        for c in cols[1:]:
+            out = out | c
+        return out, "boolean"
+
+    def _op_not(self, e: list):
+        return ~self.as_boolean(e[1]), "boolean"
+
+    # -- comparison --------------------------------------------------------
+    def _comparison(self, e: list, op: str):
+        if len(e) < 3:
+            raise FilterError(f"'{op}' expects two operands")
+        a, b = e[1], e[2]
+        ta, tb = self.infer(a), self.infer(b)
+        if "number" in (ta, tb):
+            ca, cb = self.as_number(a), self.as_number(b)
+        elif "boolean" in (ta, tb):
+            ca, cb = self.as_boolean(a), self.as_boolean(b)
+        else:
+            ca, cb = self.as_string(a), self.as_string(b)
+        if op == "==":
+            return ca == cb, "boolean"
+        if op == "!=":
+            # GL expression '!=' with a null operand is an evaluation
+            # error -> false in filter context; plain != gives NULL which
+            # DataFrame.filter drops. (Legacy '!=' differs: see
+            # _compile_legacy.)
+            return ca != cb, "boolean"
+        if op == "<":
+            return ca < cb, "boolean"
+        if op == "<=":
+            return ca <= cb, "boolean"
+        if op == ">":
+            return ca > cb, "boolean"
+        return ca >= cb, "boolean"
+
+    def _op_eq(self, e: list):
+        return self._comparison(e, "==")
+
+    def _op_ne(self, e: list):
+        return self._comparison(e, "!=")
+
+    def _op_lt(self, e: list):
+        return self._comparison(e, "<")
+
+    def _op_le(self, e: list):
+        return self._comparison(e, "<=")
+
+    def _op_gt(self, e: list):
+        return self._comparison(e, ">")
+
+    def _op_ge(self, e: list):
+        return self._comparison(e, ">=")
+
+    # -- membership / strings ----------------------------------------------
+    def _op_in(self, e: list):
+        if len(e) != 3:
+            raise FilterError("'in' expression expects needle and haystack")
+        needle, haystack = e[1], e[2]
+        if isinstance(haystack, list) and haystack and haystack[0] == "literal":
+            values = haystack[1] if len(haystack) > 1 else []
+            if isinstance(values, list):
+                numeric = any(
+                    isinstance(v, (int, float)) and not isinstance(v, bool)
+                    for v in values
+                )
+                probe = self.as_number(needle) if numeric else self.as_string(needle)
+                lits = [
+                    F.lit(float(v))
+                    if numeric and isinstance(v, (int, float)) and not isinstance(v, bool)
+                    else F.lit(v)
+                    for v in values
+                ]
+                return probe.isin(*lits) if lits else F.lit(False), "boolean"
+            return F.contains(F.lit(str(values)), self.as_string(needle)), "boolean"
+        hay_col, hay_tag = self.compile(haystack)
+        if hay_tag == "array":
+            return F.array_contains(hay_col, self.compile(needle)[0]), "boolean"
+        return F.contains(hay_col.cast("string"), self.as_string(needle)), "boolean"
+
+    def _op_index_of(self, e: list):
+        hay = self.as_string(e[2])
+        needle = self.as_string(e[1])
+        return F.instr(hay, needle) - F.lit(1), "number"
+
+    def _op_slice(self, e: list):
+        s = self.as_string(e[1])
+        start = self.as_number(e[2]).cast("int") + F.lit(1)
+        if len(e) > 3:
+            end = self.as_number(e[3]).cast("int")
+            return F.substr(s, start, end - start + F.lit(1)), "string"
+        return F.substr(s, start), "string"
+
+    def _op_concat(self, e: list):
+        return F.concat(*[self.as_string(sub) for sub in e[1:]]), "string"
+
+    def _op_downcase(self, e: list):
+        return F.lower(self.as_string(e[1])), "string"
+
+    def _op_upcase(self, e: list):
+        return F.upper(self.as_string(e[1])), "string"
+
+    def _op_length(self, e: list):
+        col, tag = self.compile(e[1])
+        if tag == "array":
+            return F.array_size(col), "number"
+        return F.length(col.cast("string")), "number"
+
+    def _op_at(self, e: list):
+        idx = self.as_number(e[1]).cast("int") + F.lit(1)
+        arr, _ = self.compile(e[2])
+        return F.element_at(arr, idx), "value"
+
+    def _op_number_format(self, e: list):
+        # Reference parity: basic to-string, options ignored
+        # (/root/reference/CHANGELOG.md:7 — "simple version ... which
+        # converts a number to a string, ignoring all the options").
+        n = self.as_number(e[1])
+        return _number_to_string(n), "string"
+
+    # -- type conversion ---------------------------------------------------
+    def _op_to_boolean(self, e: list):
+        col, tag = self.compile(e[1])
+        if tag == "number":
+            return col.isNotNull() & (col != 0) & ~F.isnan(col), "boolean"
+        if tag == "boolean":
+            return F.coalesce(col, F.lit(False)), "boolean"
+        # string / value: false iff null or "" (GL truthiness; exercised by
+        # /root/reference/test/vtshaver.test.js:446)
+        s = col.cast("string")
+        return s.isNotNull() & (s != ""), "boolean"
+
+    def _op_to_number(self, e: list):
+        return self.as_number(e[1]), "number"
+
+    def _op_to_string(self, e: list):
+        col, tag = self.compile(e[1])
+        if tag == "number":
+            return _number_to_string(col), "string"
+        return col.cast("string"), "string"
+
+    def _op_number(self, e: list):
+        # assertion: first castable argument wins
+        cols = [self.as_number(sub) for sub in e[1:]]
+        return (F.coalesce(*cols) if len(cols) > 1 else cols[0]), "number"
+
+    def _op_string(self, e: list):
+        cols = [self.as_string(sub) for sub in e[1:]]
+        return (F.coalesce(*cols) if len(cols) > 1 else cols[0]), "string"
+
+    def _op_boolean(self, e: list):
+        cols = [self.as_boolean(sub) for sub in e[1:]]
+        return (F.coalesce(*cols) if len(cols) > 1 else cols[0]), "boolean"
+
+    def _op_typeof(self, e: list):
+        col, tag = self.compile(e[1])
+        if tag in ("number", "string", "boolean"):
+            return F.lit(tag), "string"
+        return (
+            F.when(col.isNull(), "null")
+            .when(col.try_cast("double").isNotNull(), "number")
+            .otherwise("string")
+        ), "string"
+
+    # -- math ---------------------------------------------------------------
+    def _binary_math(self, e: list, fn):
+        cols = [self.as_number(sub) for sub in e[1:]]
+        out = cols[0]
+        for c in cols[1:]:
+            out = fn(out, c)
+        return out, "number"
+
+    def _op_plus(self, e: list):
+        return self._binary_math(e, lambda a, b: a + b)
+
+    def _op_times(self, e: list):
+        return self._binary_math(e, lambda a, b: a * b)
+
+    def _op_minus(self, e: list):
+        if len(e) == 2:
+            return -self.as_number(e[1]), "number"
+        return self._binary_math(e, lambda a, b: a - b)
+
+    def _op_div(self, e: list):
+        return self._binary_math(e, lambda a, b: a / b)
+
+    def _op_mod(self, e: list):
+        return self._binary_math(e, lambda a, b: a % b)
+
+    def _op_pow(self, e: list):
+        return F.pow(self.as_number(e[1]), self.as_number(e[2])), "number"
+
+    def _op_sqrt(self, e: list):
+        return F.sqrt(self.as_number(e[1])), "number"
+
+    def _op_abs(self, e: list):
+        return F.abs(self.as_number(e[1])), "number"
+
+    def _op_round(self, e: list):
+        return F.round(self.as_number(e[1]), 0), "number"
+
+    def _op_floor(self, e: list):
+        return F.floor(self.as_number(e[1])).cast("double"), "number"
+
+    def _op_ceil(self, e: list):
+        return F.ceil(self.as_number(e[1])).cast("double"), "number"
+
+    def _op_min(self, e: list):
+        return F.least(*[self.as_number(s) for s in e[1:]]), "number"
+
+    def _op_max(self, e: list):
+        return F.greatest(*[self.as_number(s) for s in e[1:]]), "number"
+
+    def _op_ln(self, e: list):
+        return F.log(self.as_number(e[1])), "number"
+
+    def _op_log10(self, e: list):
+        return F.log10(self.as_number(e[1])), "number"
+
+    def _op_log2(self, e: list):
+        return F.log2(self.as_number(e[1])), "number"
+
+    def _op_sin(self, e: list):
+        return F.sin(self.as_number(e[1])), "number"
+
+    def _op_cos(self, e: list):
+        return F.cos(self.as_number(e[1])), "number"
+
+    def _op_tan(self, e: list):
+        return F.tan(self.as_number(e[1])), "number"
+
+    def _op_asin(self, e: list):
+        return F.asin(self.as_number(e[1])), "number"
+
+    def _op_acos(self, e: list):
+        return F.acos(self.as_number(e[1])), "number"
+
+    def _op_atan(self, e: list):
+        return F.atan(self.as_number(e[1])), "number"
+
+    def _op_ln2(self, e: list):
+        return F.lit(math.log(2.0)), "number"
+
+    def _op_pi(self, e: list):
+        return F.lit(math.pi), "number"
+
+    def _op_e(self, e: list):
+        return F.lit(math.e), "number"
+
+    # -- rendering-context no-ops (rewritten at style compile; kept for
+    #    direct API users) --------------------------------------------------
+    def _op_pitch(self, e: list):
+        return F.lit(None).cast("double"), "number"
+
+    def _op_distance_from_center(self, e: list):
+        return F.lit(None).cast("double"), "number"
+
+
+class _ExprValidate(_Expr):
+    """Shares the parser with _Expr but never touches Spark: every
+    compile returns an inert placeholder, so Filters construction can
+    validate styles without a SparkSession."""
+
+    def compile(self, e: Any):  # noqa: D102
+        if isinstance(e, bool):
+            return None, "boolean"
+        if isinstance(e, (int, float)):
+            return None, "number"
+        if isinstance(e, str):
+            return None, "string"
+        if e is None:
+            return None, "null"
+        if not isinstance(e, list) or len(e) == 0:
+            raise FilterError(f"invalid expression: {e!r}")
+        op = e[0]
+        if not isinstance(op, str):
+            raise FilterError(f"invalid expression operator: {op!r}")
+        if _py_name(op) not in _VALID_OPS:
+            raise FilterError(f"expression operator '{op}' is not supported")
+        _validate_arity(op, e)
+        for sub in e[1:]:
+            if isinstance(sub, list) and sub and isinstance(sub[0], str) and (
+                _py_name(sub[0]) in _VALID_OPS
+            ):
+                self.compile(sub)
+        return None, self.infer(e)
+
+    def as_number(self, e: Any):
+        self.compile(e)
+        return None
+
+    def as_string(self, e: Any):
+        self.compile(e)
+        return None
+
+    def as_boolean(self, e: Any):
+        self.compile(e)
+        return None
+
+    def compile_boolean(self, e: Any):
+        self.compile(e)
+        return None
+
+
+def _validate_arity(op: str, e: list) -> None:
+    if op == "get" and (len(e) != 2 or not isinstance(e[1], str)):
+        raise FilterError("'get' expects a single string key")
+    if op == "has" and (len(e) != 2 or not isinstance(e[1], str)):
+        raise FilterError("'has' expects a single string key")
+    if op == "in" and len(e) != 3:
+        raise FilterError("'in' expression expects needle and haystack")
+    if op in ("==", "!=", "<", "<=", ">", ">=") and len(e) < 3:
+        raise FilterError(f"'{op}' expects two operands")
+    if op == "match" and (len(e) < 5 or len(e) % 2 == 0):
+        raise FilterError("'match' expects input, label/output pairs, fallback")
+    if op == "case" and (len(e) < 4 or len(e) % 2 != 0):
+        raise FilterError("'case' expects cond/output pairs plus fallback")
+    if op == "step" and len(e) < 3:
+        raise FilterError("'step' expects input, base output, stops")
+
+
+def _number_to_string(n: Column) -> Column:
+    """GL to-string for numbers: integral values print without '.0'."""
+    as_long = n.cast("long")
+    return F.when(
+        n.isNotNull() & (as_long.cast("double") == n), as_long.cast("string")
+    ).otherwise(n.cast("string"))
+
+
+_OP_NAME_MAP = {
+    "==": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge",
+    "+": "plus", "*": "times", "-": "minus", "/": "div", "%": "mod",
+    "^": "pow", "!": "not",
+}
+
+
+def _py_name(op: str) -> str:
+    return _OP_NAME_MAP.get(op, op.replace("-", "_"))
+
+
+_VALID_OPS = frozenset(
+    name[4:] for name in dir(_Expr) if name.startswith("_op_")
+)
