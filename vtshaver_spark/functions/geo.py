@@ -1,0 +1,130 @@
+"""Column-only geospatial math: Web-Mercator tiling, cell ids, distance.
+
+Everything here is pure Catalyst expression (no UDFs), so tile/cell
+assignment of 10^12 rows runs fully inside whole-stage codegen and the
+identical formulas can be re-stated in ANSI SQL for oracle checking.
+
+Tile scheme: the standard slippy-map z/x/y used by MVT tiles (the
+reference's tiles are addressed this way, e.g. the canonical fixture
+sf_16_10465_25329 — /root/reference/test/vtshaver.test.js:55-59).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Web-Mercator latitude clamp (where the projection diverges).
+MAX_LAT = 85.05112878
+
+ColumnOrName = Union[Column, str]
+
+
+def _col(c: ColumnOrName) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tile_x(lon: ColumnOrName, z: int) -> Column:
+    """Slippy x = floor((lon+180)/360 * 2^z), clamped to [0, 2^z-1]."""
+    n = float(1 << z)
+    x = F.floor((_col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    return F.least(F.greatest(x, F.lit(0)), F.lit(int(n) - 1)).cast("long")
+
+
+def tile_y(lat: ColumnOrName, z: int) -> Column:
+    """Slippy y = floor((1 - ln(tan(φ)+sec(φ))/π)/2 * 2^z), clamped."""
+    n = float(1 << z)
+    phi = F.radians(
+        F.least(F.greatest(_col(lat), F.lit(-MAX_LAT)), F.lit(MAX_LAT))
+    )
+    merc = F.log(F.tan(phi) + F.lit(1.0) / F.cos(phi))
+    y = F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(n))
+    return F.least(F.greatest(y, F.lit(0)), F.lit(int(n) - 1)).cast("long")
+
+
+def with_tile(df, lon: str = "lon", lat: str = "lat", z: int = 5):
+    """Adds z/x/y tile-address columns (pure Column math, no shuffle)."""
+    return (
+        df.withColumn("z", F.lit(z).cast("int"))
+        .withColumn("x", tile_x(lon, z))
+        .withColumn("y", tile_y(lat, z))
+    )
+
+
+def tile_cell(z: ColumnOrName, x: ColumnOrName, y: ColumnOrName) -> Column:
+    """Packs (z,x,y) into one sortable bigint cell id.
+
+    Layout: z in the top bits, then x, then y (29 bits each — valid to
+    z=29). Sorting by this id groups a zoom level contiguously and
+    keeps x-adjacent columns near each other; it is the hash/range
+    partitioning key for tile-local work.
+    """
+    return (
+        _col(z).cast("long") * F.lit(1 << 58)
+        + _col(x).cast("long") * F.lit(1 << 29)
+        + _col(y).cast("long")
+    )
+
+
+def quadkey(z: int, x: ColumnOrName, y: ColumnOrName) -> Column:
+    """Bing-style quadkey cell id: bit-interleaved x/y at zoom z.
+
+    Hierarchical: the quadkey of the parent tile is this value >> 2.
+    Built from Column bit-ops only (z iterations at plan-build time).
+    """
+    xc, yc = _col(x), _col(y)
+    key = F.lit(0).cast("long")
+    for i in range(z):
+        bit_x = F.shiftright(xc, i).bitwiseAND(F.lit(1))
+        bit_y = F.shiftright(yc, i).bitwiseAND(F.lit(1))
+        key = key + F.shiftleft(bit_x + bit_y * F.lit(2), 2 * i).cast("long")
+    return key
+
+
+def haversine_m(
+    lon1: ColumnOrName, lat1: ColumnOrName, lon2: ColumnOrName, lat2: ColumnOrName
+) -> Column:
+    """Great-circle distance in meters (pure Column math)."""
+    r = 6371000.0
+    p1, p2 = F.radians(_col(lat1)), F.radians(_col(lat2))
+    dphi = p2 - p1
+    dlmb = F.radians(_col(lon2) - _col(lon1))
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(p1) * F.cos(p2) * F.sin(dlmb / 2) * F.sin(dlmb / 2)
+    )
+    return F.lit(2.0 * r) * F.asin(F.sqrt(a))
+
+
+def tile_bounds(z: int, x: int, y: int) -> tuple:
+    """Driver-side (lon_min, lat_min, lon_max, lat_max) of a tile."""
+    n = 1 << z
+    lon_min = x / n * 360.0 - 180.0
+    lon_max = (x + 1) / n * 360.0 - 180.0
+
+    def lat_of(yy: int) -> float:
+        t = math.pi * (1 - 2 * yy / n)
+        return math.degrees(math.atan(math.sinh(t)))
+
+    return (lon_min, lat_of(y + 1), lon_max, lat_of(y))
+
+
+# SQL fragments for oracle parity (same math as the Columns above, in
+# portable SQL so DuckDB computes bit-identical doubles).
+def tile_x_sql(lon_expr: str, z: int) -> str:
+    n = 1 << z
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}.0), 0), {n - 1}) AS BIGINT)"
+    )
+
+
+def tile_y_sql(lat_expr: str, z: int) -> str:
+    n = 1 << z
+    clamped = f"LEAST(GREATEST({lat_expr}, -85.05112878), 85.05112878)"
+    merc = f"LN(TAN(RADIANS({clamped})) + 1.0 / COS(RADIANS({clamped})))"
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR((1.0 - {merc} / PI()) / 2.0 * {n}.0), 0), {n - 1}) AS BIGINT)"
+    )

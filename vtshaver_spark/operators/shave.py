@@ -1,0 +1,202 @@
+"""The shave pipeline: layer semi-join + zoom gate + feature filter +
+property projection, as one Catalyst plan.
+
+Semantics parity with the reference worker loop
+(/root/reference/src/shave.cpp:237-301):
+
+ - layers absent from the compiled style are dropped (O12);
+ - a layer is kept only when query zoom is inside [minzoom, maxzoom]
+   OR the overzoom rule fires: a provided tileset maxzoom is below the
+   style minzoom (O13, src/shave.cpp:275-276);
+ - keep-all layers (filter True + properties True) pass through
+   verbatim — including Unknown-geometry rows (O14 fast path,
+   src/shave.cpp:279-281);
+ - on the filtered path, Unknown geometries are always dropped (O15,
+   src/shave.cpp:196-200) and the compiled GL predicate runs per row
+   at the query zoom (O16);
+ - surviving rows' properties are pruned to the per-layer allowlist
+   (O17, src/shave.cpp:184-193).
+
+Spark-first design: the whole thing is a single ``filter`` +
+``withColumn`` pair over the features DataFrame — an OR-of-layers
+predicate plus a CASE-of-layers map projection. No shuffle, no UDFs;
+the style table is folded into the plan as literals (it is tiny), so
+Catalyst constant-folds keep-all branches and pushes the layer/zoom
+conjuncts down to the scan. Scale note: at 10^12 rows this remains a
+map-only stage; with z/layer as partition columns of the source table
+the layer+zoom conjuncts become partition pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vtshaver_spark.errors import ShaveError
+from vtshaver_spark import errors as E
+from vtshaver_spark.functions.expr import FilterContext, filter_to_column
+from vtshaver_spark.style.filters import Filters, LayerFilter
+
+_GEOM_TYPES = ("Point", "LineString", "Polygon")
+
+
+def _layer_zoom_pred(
+    lf: LayerFilter, zoom: Column, maxzoom: Optional[float]
+) -> Column:
+    in_range = (zoom >= F.lit(lf.minzoom)) & (zoom <= F.lit(lf.maxzoom))
+    if maxzoom is not None:
+        return in_range | F.lit(float(maxzoom) < lf.minzoom)
+    return in_range
+
+
+def shave(
+    df: DataFrame,
+    filters: Filters,
+    zoom: Union[float, Column, None] = None,
+    maxzoom: Optional[float] = None,
+    layer_col: str = "layer",
+    props_col: str = "props",
+    geom_type_col: str = "geom_type",
+    feature_id_col: str = "feature_id",
+) -> DataFrame:
+    """Shave a features DataFrame with a compiled style.
+
+    ``zoom`` may be a number (whole-job binding, reference parity), a
+    Column (per-row, e.g. ``F.col("z")`` to shave every zoom level in
+    one pass — the scale path), or None (defaults to ``F.col("z")``).
+    ``maxzoom`` is the *tileset* maxzoom for the overzoom rule.
+    """
+    if not isinstance(filters, Filters):
+        raise ShaveError(
+            "filters option must be a shaver.Filters object"
+        )
+    if isinstance(zoom, (int, float)) and not isinstance(zoom, bool):
+        if zoom < 0:
+            raise ShaveError(E.MSG_ZOOM_TYPE)
+        zoom_col: Column = F.lit(float(zoom))
+    elif isinstance(zoom, Column):
+        zoom_col = zoom
+    elif zoom is None:
+        zoom_col = F.col("z").cast("double")
+    else:
+        raise ShaveError(E.MSG_ZOOM_TYPE)
+    if maxzoom is not None and (
+        not isinstance(maxzoom, (int, float)) or isinstance(maxzoom, bool) or maxzoom < 0
+    ):
+        raise ShaveError(E.MSG_MAXZOOM_TYPE)
+
+    ctx = FilterContext(
+        props=props_col,
+        geom_type=geom_type_col,
+        feature_id=feature_id_col,
+        zoom=zoom_col,
+    )
+    layer = F.col(layer_col)
+
+    # OR-of-layers row predicate (inlined broadcast semi-join).
+    keep: Optional[Column] = None
+    for lf in filters:
+        branch = (layer == F.lit(lf.layer)) & _layer_zoom_pred(
+            lf, zoom_col, maxzoom
+        )
+        if lf.keep_all_filter and lf.keep_all_properties:
+            # O14 fast path: verbatim copy — Unknown geometries survive.
+            pass
+        else:
+            feature_pred = filter_to_column(lf.filter, ctx)
+            branch = (
+                branch
+                & F.col(geom_type_col).isin(*_GEOM_TYPES)
+                & feature_pred
+            )
+        keep = branch if keep is None else (keep | branch)
+    if keep is None:
+        keep = F.lit(False)  # empty style shaves everything
+    shaved = df.filter(keep)
+
+    # CASE-of-layers property projection (O17). Keep-all layers fall
+    # through to the identity branch.
+    proj: Optional[Column] = None
+    props = F.col(props_col)
+    for lf in filters:
+        if lf.keep_all_properties:
+            continue
+        if lf.properties:
+            allow = F.array([F.lit(k) for k in lf.properties])
+            pruned = F.map_filter(props, lambda k, _v: F.array_contains(allow, k))
+        else:
+            # empty allowlist (styled but no property references): all
+            # feature properties are stripped
+            pruned = F.map_filter(props, lambda _k, _v: F.lit(False))
+        cond = layer == F.lit(lf.layer)
+        proj = F.when(cond, pruned) if proj is None else proj.when(cond, pruned)
+    if proj is not None:
+        shaved = shaved.withColumn(props_col, proj.otherwise(props))
+    return shaved
+
+
+def shave_with_metrics(
+    df: DataFrame,
+    filters: Filters,
+    zoom: Union[float, Column, None] = None,
+    maxzoom: Optional[float] = None,
+    **kwargs,
+) -> tuple:
+    """Shave plus a per-tile metrics DataFrame (the vtshave CLI
+    contract, /root/reference/bin/vtshave.js:75-93: before/after sizes).
+
+    Single-pass design: features_before/features_after come from one
+    conditional aggregation (no second scan, no join).
+    """
+    shaved = shave(df, filters, zoom=zoom, maxzoom=maxzoom, **kwargs)
+    props_col = kwargs.get("props_col", "props")
+    # Approximate encoded size of a row: sum of key/value lengths of its
+    # retained properties (a stable stand-in for MVT bytes in row-model).
+    def prop_bytes(col: Column) -> Column:
+        return F.coalesce(
+            F.aggregate(
+                F.map_entries(col),
+                F.lit(0),
+                lambda acc, e: acc + F.length(e["key"]) + F.length(e["value"]),
+            ),
+            F.lit(0),
+        )
+
+    before = df.groupBy("z", "x", "y").agg(
+        F.count(F.lit(1)).alias("features_before"),
+        F.sum(prop_bytes(F.col(props_col))).alias("prop_bytes_before"),
+    )
+    after = shaved.groupBy("z", "x", "y").agg(
+        F.count(F.lit(1)).alias("features_after"),
+        F.sum(prop_bytes(F.col(props_col))).alias("prop_bytes_after"),
+    )
+    metrics = (
+        before.join(after, ["z", "x", "y"], "left")
+        .fillna(0, subset=["features_after", "prop_bytes_after"])
+        .withColumn(
+            "shave_ratio",
+            F.when(
+                F.col("prop_bytes_before") > 0,
+                1.0 - F.col("prop_bytes_after") / F.col("prop_bytes_before"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return shaved, metrics
+
+
+def tile_layer_summary(shaved: DataFrame) -> DataFrame:
+    """Per (tile, layer) survivor census — the row-set form the
+    reference's tests assert on (layer names + feature counts +
+    property key sets, test/vtshaver.test.js:13-26)."""
+    return (
+        shaved.groupBy("z", "x", "y", "layer")
+        .agg(
+            F.count(F.lit(1)).alias("feature_count"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(F.map_keys(F.col("props")))))
+            ).alias("property_keys"),
+        )
+        .orderBy("z", "x", "y", "layer")
+    )
