@@ -1,0 +1,225 @@
+"""Benchmark harness.
+
+Default: runs the headline engine pipelines at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf", plus throughput extras}.
+
+Scaling mode (--scaling): runs the same bulk pipeline at local[8] and
+local[32] on identical input and reports per-core-normalized scaling
+efficiency — the sandbox proxy for the north rule's two-cluster-size
+criterion (N vs 4N executors, efficiency >= 0.8). Results also land in
+BENCH.md.
+
+The corpus is replicated ~REPLICATE x via explode to give the engine
+enough rows to measure (sf0.1 orders = 150k -> ~1.2M feature rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vtshaver_spark import Filters, style_to_filters
+from vtshaver_spark.functions import geo
+from vtshaver_spark.functions.s2 import with_s2_cell
+from vtshaver_spark.operators.ann import cosine_topk
+from vtshaver_spark.operators.dedup import exact_dedup, minhash_lsh_candidates
+from vtshaver_spark.operators.knn import knn_join_broadcast
+from vtshaver_spark.operators.pip import pip_rect_join
+from vtshaver_spark.operators.shave import shave
+from vtshaver_spark.sources.views import features_with_props, register_views
+from vtshaver_spark.session import build_session
+
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+
+EXPRESSION_ROAD_STYLE = {
+    "layers": [
+        {
+            "source-layer": "road",
+            "minzoom": 13,
+            "filter": [
+                "all",
+                [
+                    "step", ["zoom"], ["==", ["get", "class"], "track"], 14,
+                    ["match", ["get", "class"],
+                     ["track", "secondary_link", "tertiary_link", "service"],
+                     True, False],
+                ],
+                ["match", ["get", "structure"], ["none", "ford"], True, False],
+                ["==", ["geometry-type"], "LineString"],
+            ],
+        },
+        {"source-layer": "poi_label", "filter": ["!=", "maki", "cafe"]},
+        {"source-layer": "water"},
+    ]
+}
+
+
+def _replicate(df: DataFrame, n: int) -> DataFrame:
+    if n <= 1:
+        return df
+    return df.withColumn(
+        "_rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+    ).drop("_rep")
+
+
+def run_suite(spark: SparkSession, sf_dir: str) -> dict:
+    register_views(spark, sf_dir)
+    timings: dict = {}
+    counts: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        counts[name] = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    features = _replicate(features_with_props(spark), REPLICATE)
+    images = _replicate(spark.table("images_v"), REPLICATE)
+    landmarks = spark.table("landmarks_v")
+    polygons = spark.table("polygons_v")
+    documents = spark.table("documents")
+    embeddings = spark.table("embeddings")
+
+    filters = Filters(style_to_filters(EXPRESSION_ROAD_STYLE))
+    timed("shave", lambda: shave(features, filters, zoom=16, maxzoom=16).count())
+    timed(
+        "tile_s2_rollup",
+        lambda: with_s2_cell(geo.with_tile(images, z=12), level=10)
+        .groupBy("z", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("cell_s2").alias("c"))
+        .count(),
+    )
+    timed(
+        "knn",
+        lambda: knn_join_broadcast(images, landmarks, k=3).count(),
+    )
+    timed("pip", lambda: pip_rect_join(images, polygons).count())
+    timed("dedup_exact", lambda: exact_dedup(documents).count())
+    timed(
+        "minhash_lsh",
+        lambda: minhash_lsh_candidates(documents, num_hashes=32, bands=8).count(),
+    )
+    q = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("ann_cosine", lambda: cosine_topk(embeddings, q, k=10).count())
+
+    feature_rows = features.count()
+    image_rows = images.count()
+    total = round(sum(timings.values()), 3)
+    shaved_and_joined = counts["shave"] + counts["knn"] + counts["pip"]
+    return {
+        "timings": timings,
+        "counts": counts,
+        "total_sec": total,
+        "feature_rows": feature_rows,
+        "image_rows": image_rows,
+        "rows_per_sec": round((feature_rows + 2 * image_rows) / total, 1),
+        "shaved_joined_rows_per_sec": round(
+            shaved_and_joined / (timings["shave"] + timings["knn"] + timings["pip"]), 1
+        ),
+    }
+
+
+def one_run(cores: int, sf_dir: str) -> dict:
+    spark = build_session(
+        app_name=f"bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    try:
+        # warm the JVM + parquet footers so the measured pass is steady-state
+        register_views(spark, sf_dir)
+        spark.table("images_v").count()
+        return run_suite(spark, sf_dir)
+    finally:
+        spark.stop()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    scaling_mode = "--scaling" in sys.argv
+
+    if scaling_mode:
+        lo_cores, hi_cores = 8, 32
+        lo = one_run(lo_cores, sf_dir)
+        hi = one_run(hi_cores, sf_dir)
+        speedup = lo["total_sec"] / hi["total_sec"]
+        core_ratio = hi_cores / lo_cores
+        efficiency = round(speedup / core_ratio, 3)
+        out = {
+            "metric": "tiles shaved + spatially joined per second (scaling)",
+            "value": hi["total_sec"],
+            "unit": "sec",
+            "queries": hi["timings"],
+            "sf": float(sf),
+            "scaling": {
+                f"local[{lo_cores}]": lo,
+                f"local[{hi_cores}]": hi,
+                "speedup": round(speedup, 3),
+                "core_ratio": core_ratio,
+                "efficiency": efficiency,
+            },
+        }
+        print(json.dumps(out))
+        _write_bench_md(lo_cores, hi_cores, lo, hi, speedup, efficiency, sf_dir)
+        return
+
+    result = one_run(cpus, sf_dir)
+    out = {
+        "metric": "engine suite wall time (shave + tile/s2 + knn + pip + dedup + lsh + ann)",
+        "value": result["total_sec"],
+        "unit": "sec",
+        "queries": result["timings"],
+        "sf": float(sf),
+        "rows_per_sec": result["rows_per_sec"],
+        "shaved_joined_rows_per_sec": result["shaved_joined_rows_per_sec"],
+        "counts": result["counts"],
+    }
+    print(json.dumps(out))
+
+
+def _write_bench_md(lo_cores, hi_cores, lo, hi, speedup, efficiency, sf_dir):
+    lines = [
+        "# BENCH — throughput + scaling evidence (north rule)",
+        "",
+        f"Input: derived corpus over `{sf_dir}` (REPLICATE={REPLICATE}; "
+        f"{hi['feature_rows']} feature rows, {hi['image_rows']} image rows). "
+        "Same job, same input, two parallelism levels — the sandbox proxy "
+        "for N vs 4N executors.",
+        "",
+        "| config | suite total (s) | shave (s) | tile+s2 (s) | knn (s) | pip (s) | rows/s |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for cores, r in ((lo_cores, lo), (hi_cores, hi)):
+        t = r["timings"]
+        lines.append(
+            f"| local[{cores}] | {r['total_sec']} | {t['shave']} | {t['tile_s2_rollup']} "
+            f"| {t['knn']} | {t['pip']} | {r['rows_per_sec']} |"
+        )
+    lines += [
+        "",
+        f"Speedup {lo_cores}->{hi_cores} cores: **{speedup:.2f}x** over a "
+        f"{hi_cores // lo_cores}x core ratio -> per-core scaling efficiency "
+        f"**{efficiency:.3f}** (north-rule target >= 0.8 would equal "
+        f"{hi_cores / lo_cores * 0.8:.1f}x speedup; single-machine local mode "
+        "shares one JVM/memory bus, so this proxy is conservative vs real "
+        "separate executors).",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""ANN goldens: exact top-k vs numpy; LSH recall vs exact."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vtshaver_spark.operators.ann import cosine_topk, lsh_cosine_topk
+from vtshaver_spark.sources.synthetic import _u
+
+
+DIM = 16
+N = 200
+
+
+def _vec(i: int) -> list:
+    return [(_u(f"v/{i}/{d}") * 2.0 - 1.0) for d in range(DIM)]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [(i, _vec(i)) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    rows = [(i, _vec(i)) for i in range(5)]
+    return spark.createDataFrame(rows, "query_id long, embedding array<double>")
+
+
+def numpy_topk(k=5):
+    mat = np.array([_vec(i) for i in range(N)])
+    out = {}
+    for qi in range(5):
+        q = np.array(_vec(qi))
+        cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        cos[:5] = -np.inf  # queries excluded from the candidate set
+        order = sorted(range(N), key=lambda i: (-cos[i], i))[:k]
+        out[qi] = order
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, vectors, queries):
+    golden = numpy_topk(5)
+    out = cosine_topk(vectors.filter(F.col("vec_id") >= 5), queries, k=5).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert got == golden
+
+
+def test_lsh_recall(spark, vectors, queries):
+    exact = cosine_topk(vectors.filter(F.col("vec_id") >= 5), queries, k=5).collect()
+    approx = lsh_cosine_topk(
+        vectors.filter(F.col("vec_id") >= 5), queries, k=5, n_planes=6, dim=DIM
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # multiprobe LSH, top-1 bucket ring

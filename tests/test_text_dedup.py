@@ -1,0 +1,125 @@
+"""Text analysis + dedup operator goldens."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vtshaver_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint64,
+    lang_guess,
+    quality_score,
+    shingles,
+    stopword_ratio,
+    token_count,
+)
+from vtshaver_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash64,
+    simhash_near_dups,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog and runs into the woods"),
+    (2, "The quick brown fox jumps over the lazy dog and runs into the woods"),  # exact dup of 1
+    (3, "The quick brown fox jumps over the lazy dog and runs into the forest"),  # near dup of 1
+    (4, "Der schnelle braune Fuchs springt und das ist ein deutscher Satz mit der die das"),
+    (5, "completely different content about spark query engines and columnar execution"),
+    (6, "the quick  brown fox jumps over the lazy dog and runs into the woods"),  # ws/case variant of 1
+    (7, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_token_count(spark, docs):
+    out = {r["doc_id"]: r["n"] for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert out[1] == 14
+    assert out[7] == 0
+
+
+def test_bpe_ish_token_count(spark, docs):
+    out = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n")).collect()
+    }
+    # subword count >= word count, 0 for empty
+    assert out[1] >= 14 and out[7] == 0
+
+
+def test_quality_and_stopwords(spark, docs):
+    out = {
+        r["doc_id"]: (r["q"], r["s"])
+        for r in docs.select(
+            "doc_id",
+            quality_score(F.col("text"), F.length("text")).alias("q"),
+            stopword_ratio(F.col("text")).alias("s"),
+        ).collect()
+    }
+    assert out[1][0] > out[7][0]
+    assert out[1][1] > 0.2  # 'the/and' heavy
+    assert out[7][1] == 0.0
+
+
+def test_lang_guess(spark, docs):
+    out = {r["doc_id"]: r["l"] for r in docs.select("doc_id", lang_guess(F.col("text")).alias("l")).collect()}
+    assert out[1] == "en"
+    assert out[4] == "de"
+    assert out[7] == "und"
+
+
+def test_exact_dedup_normalized(spark, docs):
+    groups = exact_dedup(docs).collect()
+    by_keeper = {r["keeper_id"]: r["group_size"] for r in groups}
+    # 1, 2 and the whitespace/case variant 6 normalize identically
+    assert by_keeper[1] == 3
+    assert by_keeper[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=16, shingle_n=3)
+    verified = ngram_jaccard(docs, cands).filter(F.col("jaccard") >= 0.6)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in verified.collect()}
+    assert (1, 2) in pairs  # identical
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup
+    assert all(5 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_hamming(spark, docs):
+    sims = {r["doc"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sims[1] == sims[2]  # identical docs, identical fingerprints
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(sims[1], sims[3]) < ham(sims[1], sims[5])
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(docs, max_hamming=10, blocks=4).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert all({a, b} != {1, 5} for a, b in pairs)
+
+
+def test_fingerprint_normalization(spark, docs):
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", fingerprint64(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[2] == fps[6]
+    assert fps[1] != fps[3]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    out = df.select(shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert out == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert short.select(shingles(F.col("text"), 3).alias("s")).collect()[0]["s"] == []

@@ -1,0 +1,107 @@
+"""Local simulation of the driver's correctness gate.
+
+Runs every queries() entry in Spark and its oracle_sql() in DuckDB at
+the given scale factor, compares row counts and order-insensitive
+value hashes. Usage: python tools/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod
+from vtshaver_spark.session import build_session
+from vtshaver_spark.sources.views import BASE_TABLES
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return str(v)
+
+
+def value_hash(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted(
+        "\x01".join(norm_cell(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in BASE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as ex:
+            print(f"{name:28s} SPARK ERROR: {ex}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name:28s} rows={len(srows):6d}  (rows-only, no oracle)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as ex:
+            print(f"{name:28s} ORACLE ERROR: {ex}")
+            failures.append(name)
+            continue
+        sh = value_hash([tuple(r) for r in srows], scols)
+        oh = value_hash(orows, ocols)
+        ok = len(srows) == len(orows) and sorted(scols) == sorted(ocols) and sh == oh
+        status = "OK " if ok else "MISMATCH"
+        print(
+            f"{name:28s} {status} spark_rows={len(srows):6d} oracle_rows={len(orows):6d}"
+            f" cols={'=' if sorted(scols) == sorted(ocols) else 'DIFF'}"
+            f" hash={'=' if sh == oh else 'DIFF'}"
+        )
+        if not ok:
+            failures.append(name)
+            if sorted(scols) != sorted(ocols):
+                print(f"   spark cols: {sorted(scols)}\n   oracle cols: {sorted(ocols)}")
+            sset = {tuple(norm_cell(v) for v in r) for r in srows}
+            oset = {tuple(norm_cell(v) for v in r) for r in orows}
+            so = list(sset - oset)[:3]
+            os_ = list(oset - sset)[:3]
+            if so:
+                print(f"   spark-only: {so}")
+            if os_:
+                print(f"   oracle-only: {os_}")
+    print("\nFAILURES:", failures if failures else "none")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,99 @@
+"""CLI entry points (reference bin/ parity, Spark-shaped).
+
+ - ``python -m vtshaver_spark.cli filters --style s.json [--sources a,b]
+   [--pretty]`` — compile a style to the filter IR JSON (the
+   vtshaver-filters contract, /root/reference/bin/vtshaver-filters.js).
+ - ``python -m vtshaver_spark.cli shave --style s.json --input <parquet>
+   --zoom Z [--maxzoom M] --output <dir>`` — batch shave job with
+   per-tile metrics (the vtshave contract: before/after sizes,
+   /root/reference/bin/vtshave.js:75-93), runnable under spark-submit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def cmd_filters(args) -> int:
+    from vtshaver_spark.style.compile import style_to_filters
+
+    with open(args.style) as f:
+        style = json.load(f)
+    filters = style_to_filters(style)
+    if args.sources:
+        wanted = args.sources.split(",")
+        missing = [s for s in wanted if s not in filters]
+        if missing:
+            sys.stderr.write(
+                f"Error: source layer(s) not found in style: {', '.join(missing)}\n"
+            )
+            return 1
+        filters = {k: v for k, v in filters.items() if k in wanted}
+    out = json.dumps(filters, indent=2 if args.pretty else None)
+    print(out)
+    return 0
+
+
+def cmd_shave(args) -> int:
+    from pyspark.sql import functions as F
+
+    from vtshaver_spark.operators.shave import shave_with_metrics
+    from vtshaver_spark.session import build_session
+    from vtshaver_spark.style.compile import style_to_filters
+    from vtshaver_spark.style.filters import Filters
+
+    with open(args.style) as f:
+        style = json.load(f)
+    filters = Filters(style_to_filters(style))
+    spark = build_session(app_name="vtshaver-shave")
+    df = spark.read.parquet(args.input)
+    zoom = args.zoom if args.zoom is not None else F.col("z").cast("double")
+    shaved, metrics = shave_with_metrics(df, filters, zoom=zoom, maxzoom=args.maxzoom)
+    shaved.write.mode("overwrite").parquet(f"{args.output}/shaved")
+    metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
+    summary = metrics.agg(
+        F.sum("features_before").alias("features_before"),
+        F.sum("features_after").alias("features_after"),
+        F.sum("prop_bytes_before").alias("prop_bytes_before"),
+        F.sum("prop_bytes_after").alias("prop_bytes_after"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "features_before": summary["features_before"],
+                "features_after": summary["features_after"],
+                "prop_bytes_before": summary["prop_bytes_before"],
+                "prop_bytes_after": summary["prop_bytes_after"],
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="vtshaver-spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_filters = sub.add_parser("filters", help="style -> compiled filter JSON")
+    p_filters.add_argument("--style", required=True)
+    p_filters.add_argument("--sources", default=None)
+    p_filters.add_argument("--pretty", action="store_true")
+    p_filters.set_defaults(fn=cmd_filters)
+
+    p_shave = sub.add_parser("shave", help="batch shave a features table")
+    p_shave.add_argument("--style", required=True)
+    p_shave.add_argument("--input", required=True)
+    p_shave.add_argument("--output", required=True)
+    p_shave.add_argument("--zoom", type=float, default=None)
+    p_shave.add_argument("--maxzoom", type=float, default=None)
+    p_shave.set_defaults(fn=cmd_shave)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

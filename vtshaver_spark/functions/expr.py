@@ -166,6 +166,8 @@ def _validate_legacy(filt: list) -> None:
 
 def _typed_eq(prop: Column, value: Any, null_safe: bool) -> Column:
     """One typed equality term. ``null_safe`` uses <=> (never NULL)."""
+    if isinstance(value, (list, dict)):
+        raise FilterError("filter value must be a string, number, or boolean")
     if isinstance(value, bool):
         lit = F.lit("true" if value else "false")
     elif isinstance(value, (int, float)):

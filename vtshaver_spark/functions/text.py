@@ -1,0 +1,121 @@
+"""Text-analysis Columns for training-data pipelines (all JVM-side).
+
+Token counting, quality scoring, language-ID heuristics, and document
+fingerprinting as pure Column expressions — whole-stage codegen, no
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[A-Za-z0-9]+"
+
+# Tiny built-in stopword inventories for the n-gram language heuristic.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "una", "en", "por", "con", "para"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace/punctuation-insensitive alnum tokens."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored subword proxy: alnum runs split every 4 chars plus
+    standalone punctuation marks — a deterministic stand-in for a real
+    tokenizer's token count (stubbed: real BPE needs a vocab file)."""
+    alnum = F.regexp_extract_all(col, F.lit("[A-Za-z0-9]+"), 0)
+    subwords = F.aggregate(
+        alnum,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+    punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\sA-Za-z0-9]"), 0))
+    return subwords + punct
+
+
+def alpha_ratio(col: Column, n_chars: Column) -> Column:
+    alpha = F.length(F.regexp_replace(col, "[^A-Za-z]", ""))
+    return F.when(n_chars > 0, alpha.cast("double") / n_chars).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column, n_chars: Column) -> Column:
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    words = _STOPWORDS[lang]
+    toks = tokens(col)
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words]))
+    )
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column, n_chars: Column) -> Column:
+    """Composite [0,1] quality heuristic: enough length, alphabetic
+    density, sane punctuation, some stopwords (English prior)."""
+    length_term = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    alpha_term = alpha_ratio(col, n_chars)
+    punct_term = F.lit(1.0) - F.least(
+        punct_ratio(col, n_chars) * F.lit(4.0), F.lit(1.0)
+    )
+    stop_term = F.least(stopword_ratio(col) * F.lit(4.0), F.lit(1.0))
+    return (
+        length_term * F.lit(0.25)
+        + alpha_term * F.lit(0.35)
+        + punct_term * F.lit(0.2)
+        + stop_term * F.lit(0.2)
+    )
+
+
+def lang_guess(col: Column) -> Column:
+    """Stopword-vote language ID over the built-in inventories.
+
+    Returns the language with the most stopword hits, 'und' when no
+    language scores. Pure Column expression: one score per language,
+    combined with greatest/when — no UDF."""
+    toks = tokens(col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words])))
+        for lang, words in _STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # iterate in fixed order so ties resolve deterministically
+    for lang in sorted(_STOPWORDS):
+        out = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint64(col: Column) -> Column:
+    """Stable 64-bit document fingerprint of normalized content
+    (whitespace-collapsed, lowercased) — the exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def md5_fingerprint(col: Column) -> Column:
+    """Oracle-friendly content hash (md5 exists in DuckDB too)."""
+    return F.md5(col)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (for MinHash/Jaccard)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )).otherwise(F.array().cast("array<string>"))

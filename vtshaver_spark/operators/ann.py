@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+ - ``cosine_topk``: exact brute force — broadcast the query set,
+   JVM-side dot products via zip_with/aggregate (no Python).
+ - ``lsh_cosine_topk``: the scale path — sign-random-projection
+   (SimHash-for-vectors) bucketing with multi-probe, exact re-rank
+   inside buckets. Hyperplanes are derived deterministically from a
+   seed constant (no RNG state).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns (JVM fold)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries x all vectors.
+
+    Output: query_id, rank, vec_id, cos (ties broken by vec_id).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+    )
+    v = vectors.select(
+        F.col(vec_id), F.col(vec_col).cast("array<double>").alias("_vv")
+    )
+    scored = v.crossJoin(q).withColumn("cos", cosine_sim(F.col("_vv"), F.col("_qv")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(vec_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_qv", "_vv")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "vtshaver-ann-v1") -> np.ndarray:
+    """Deterministic pseudo-random unit hyperplanes from a seed string
+    (md5 counter mode -> uniform floats -> gaussian via Box-Muller)."""
+    need = dim * n_planes
+    vals = np.empty(need + (need & 1), dtype=np.float64)
+    i = 0
+    ctr = 0
+    while i < vals.size:
+        h = hashlib.md5(f"{seed}/{ctr}".encode()).digest()
+        u1 = (int.from_bytes(h[:8], "big") + 1) / float(1 << 64)
+        u2 = int.from_bytes(h[8:], "big") / float(1 << 64)
+        r = np.sqrt(-2.0 * np.log(u1))
+        vals[i] = r * np.cos(2 * np.pi * u2)
+        if i + 1 < vals.size:
+            vals[i + 1] = r * np.sin(2 * np.pi * u2)
+        i += 2
+        ctr += 1
+    planes = vals[:need].reshape(n_planes, dim)
+    return planes / np.linalg.norm(planes, axis=1, keepdims=True)
+
+
+def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-random-projection bucket id (one bit per hyperplane)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array([F.lit(float(c)) for c in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: Optional[int] = None,
+    vec_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: SRP bucket equi-join (query probes its own
+    bucket plus all 1-bit-flip neighbors), exact cosine re-rank within
+    candidates. Recall/efficiency knob: n_planes."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    v = vectors.select(
+        F.col(vec_id), F.col(vec_col).cast("array<double>").alias("_vv")
+    ).withColumn("_bucket", srp_bucket(F.col("_vv"), planes))
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).withColumn("_b0", srp_bucket(F.col("_qv"), planes))
+    probes = F.array(
+        F.col("_b0"), *[F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    )
+    q_probed = F.broadcast(
+        q.withColumn("_bucket", F.explode(probes)).drop("_b0")
+    )
+    scored = v.join(q_probed, "_bucket").withColumn(
+        "cos", cosine_sim(F.col("_vv"), F.col("_qv"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(vec_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_qv", "_vv", "_bucket")
+    )

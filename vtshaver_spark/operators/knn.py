@@ -1,0 +1,147 @@
+"""kNN joins: every point row gets its k nearest landmarks.
+
+Two physical strategies, one logical contract (SURVEY §2.3 G4):
+
+ - ``knn_join_broadcast``: exact. Broadcast the (small) landmark side,
+   cross-join, rank with a window. Right side must fit in one
+   executor's memory — the normal case for dimension-like landmark
+   tables even at 10^12 left rows (the left side never shuffles except
+   the per-point window, which AQE splits on skew).
+ - ``knn_join_cells``: the scale path when BOTH sides are large.
+   Candidate generation via shared coarse tile cells (point's cell +
+   its 8 neighbors at a chosen zoom), cell-hash shuffle join, then
+   per-point top-k. Exact whenever the true k-th neighbor lies within
+   one cell ring (ring size is the precision/efficiency knob; the
+   pytest golden cross-checks recall against the exact join).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vtshaver_spark.functions.geo import haversine_m, tile_x, tile_y
+
+
+def _sq_degree_dist(lon_a: Column, lat_a: Column, lon_b: Column, lat_b: Column) -> Column:
+    """Squared planar degree distance — exact IEEE arithmetic, used for
+    deterministic oracle-comparable ranking."""
+    dx = lon_a - lon_b
+    dy = lat_a - lat_b
+    return dx * dx + dy * dy
+
+
+def _dist(metric: str, lon_a, lat_a, lon_b, lat_b) -> Column:
+    if metric == "haversine":
+        return haversine_m(lon_a, lat_a, lon_b, lat_b)
+    if metric == "sqdeg":
+        return _sq_degree_dist(lon_a, lat_a, lon_b, lat_b)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def knn_join_broadcast(
+    points: DataFrame,
+    landmarks: DataFrame,
+    k: int = 3,
+    point_id: str = "image_id",
+    landmark_id: str = "landmark_id",
+    metric: str = "sqdeg",
+) -> DataFrame:
+    """Exact kNN with a broadcast right side.
+
+    Output: point_id, rank (1..k), landmark_id, dist. Ties broken by
+    landmark id for determinism.
+    """
+    lm = landmarks.select(
+        F.col(landmark_id),
+        F.col("lon").alias("_lm_lon"),
+        F.col("lat").alias("_lm_lat"),
+    )
+    joined = points.crossJoin(F.broadcast(lm)).withColumn(
+        "dist",
+        _dist(metric, F.col("lon"), F.col("lat"), F.col("_lm_lon"), F.col("_lm_lat")),
+    )
+    w = Window.partitionBy(point_id).orderBy(F.col("dist").asc(), F.col(landmark_id).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_lm_lon", "_lm_lat")
+    )
+
+
+def knn_join_cells(
+    points: DataFrame,
+    landmarks: DataFrame,
+    k: int = 3,
+    cell_zoom: int = 4,
+    point_id: str = "image_id",
+    landmark_id: str = "landmark_id",
+    metric: str = "sqdeg",
+) -> DataFrame:
+    """Cell-bucketed kNN for large×large joins.
+
+    Each landmark is replicated into its cell and the 8 surrounding
+    cells (x wraps around the antimeridian, y clamps at the poles);
+    each point probes only its own cell. The join is a plain hash join
+    on the packed cell key — shuffle is bounded by 9x the landmark
+    side, points never replicate.
+    """
+    n = 1 << cell_zoom
+
+    lm = landmarks.select(
+        F.col(landmark_id),
+        F.col("lon").alias("_lm_lon"),
+        F.col("lat").alias("_lm_lat"),
+        tile_x("lon", cell_zoom).alias("_cx"),
+        tile_y("lat", cell_zoom).alias("_cy"),
+    )
+    offsets = F.expr(
+        "array(array(-1,-1),array(-1,0),array(-1,1),array(0,-1),array(0,0),"
+        "array(0,1),array(1,-1),array(1,0),array(1,1))"
+    )
+    lm_repl = (
+        lm.withColumn("_off", F.explode(offsets))
+        .withColumn("_nx", F.pmod(F.col("_cx") + F.col("_off")[0], F.lit(n)))
+        .withColumn("_ny", F.col("_cy") + F.col("_off")[1])
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .withColumn("_cell", F.col("_nx") * F.lit(n) + F.col("_ny"))
+        .drop("_off", "_cx", "_cy", "_nx", "_ny")
+    )
+    pts = points.withColumn(
+        "_cell",
+        tile_x("lon", cell_zoom) * F.lit(n) + tile_y("lat", cell_zoom),
+    )
+    joined = pts.join(lm_repl, "_cell").withColumn(
+        "dist",
+        _dist(metric, F.col("lon"), F.col("lat"), F.col("_lm_lon"), F.col("_lm_lat")),
+    )
+    w = Window.partitionBy(point_id).orderBy(F.col("dist").asc(), F.col(landmark_id).asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_lm_lon", "_lm_lat", "_cell")
+    )
+
+
+def caption_landmark_join(
+    images: DataFrame,
+    landmarks: DataFrame,
+    caption_col: str = "caption",
+    name_col: str = "name",
+) -> DataFrame:
+    """Caption-to-landmark entity join: image rows whose caption
+    mentions a landmark name (broadcast contains-join; the landmark
+    table is dimension-sized)."""
+    lm = landmarks.select(F.col("landmark_id"), F.col(name_col).alias("_lm_name"))
+    return (
+        images.crossJoin(F.broadcast(lm))
+        .filter(
+            F.contains(
+                F.concat(F.col(caption_col), F.lit(" ")),
+                F.concat(F.col("_lm_name"), F.lit(" ")),
+            )
+        )
+        .drop("_lm_name")
+    )

@@ -1,0 +1,216 @@
+"""Multimodal (image/audio/video-as-binary) pipeline operators.
+
+Opaque ``binary`` columns + typed metadata, processed with
+``mapInPandas`` kernels (Arrow batches, vectorized numpy inside — no
+per-row Python objects beyond the unavoidable bytes). Real-world
+format decode (JPEG/PNG/audio) is stubbed behind import-tries (the
+container has no PIL/av); the engine's RAWI interchange format makes
+the full pipeline executable and testable:
+
+    generate -> decode -> feature-extract -> resize -> re-encode -> verify (PSNR)
+
+Scale notes: kernels are placed AFTER all relational pruning (decode-
+last discipline, mirroring the reference's layer-prune-before-feature-
+decode — /root/reference/src/shave.cpp:260-276); batch size is bounded
+by spark.sql.execution.arrow.maxRecordsPerBatch so executor memory is
+bytes-per-image x batch, independent of partition row count.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vtshaver_spark.functions.codecs import (
+    psnr,
+    rawi_decode,
+    rawi_encode,
+    resize_nearest,
+    synth_image,
+)
+
+
+def generate_image_bytes(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Materialize deterministic RAWI bytes + dims for each row
+    (synthetic corpus bootstrap; real pipelines read bytes from the
+    lake). Adds: bytes, w, h, fmt, phash."""
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blobs, ws, hs, phs = [], [], [], []
+            for iid in pdf[id_col].astype(str):
+                w = 32 + (int.from_bytes(iid.encode()[-4:], "big") % 97)
+                h = 32 + (int.from_bytes(iid.encode()[-4:], "little") % 73)
+                arr = synth_image(iid, w, h)
+                blobs.append(rawi_encode(arr))
+                ws.append(w)
+                hs.append(h)
+                phs.append(_phash64(arr))
+            pdf = pdf.copy()
+            pdf["bytes"] = blobs
+            pdf["w"] = np.array(ws, dtype=np.int32)
+            pdf["h"] = np.array(hs, dtype=np.int32)
+            pdf["fmt"] = "rawi"
+            pdf["phash"] = np.array(phs, dtype=np.int64)
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def _phash64(arr: np.ndarray) -> int:
+    """Average-hash perceptual fingerprint: downsample luma to 8x8,
+    threshold at the mean (sign-folded into int64)."""
+    luma = arr.astype(np.float64).mean(axis=2)
+    small = resize_nearest(luma[..., None].astype(np.uint8), 8, 8)[..., 0]
+    bits = (small.astype(np.float64) >= small.mean()).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def decode_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Decode + feature-extract: mean RGB, luma stats, phash — the
+    typed-metadata extraction stage."""
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != bytes_col]
+        + [
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("luma_std", T.DoubleType()),
+            T.StructField("phash_check", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            stats = {k: [] for k in ("mean_r", "mean_g", "mean_b", "luma_std", "phash_check")}
+            for blob in pdf[bytes_col]:
+                arr = rawi_decode(blob)
+                means = arr.reshape(-1, 3).mean(axis=0)
+                stats["mean_r"].append(float(means[0]))
+                stats["mean_g"].append(float(means[1]))
+                stats["mean_b"].append(float(means[2]))
+                stats["luma_std"].append(float(arr.astype(np.float64).mean(axis=2).std()))
+                stats["phash_check"].append(_phash64(arr))
+            out = pdf.drop(columns=[bytes_col]).copy()
+            for k, v in stats.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def resize_images(
+    df: DataFrame, out_w: int, out_h: int, bytes_col: str = "bytes"
+) -> DataFrame:
+    """Nearest-neighbor resize, bytes -> bytes (keeps schema, updates
+    w/h)."""
+    schema = df.schema
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.copy()
+            pdf[bytes_col] = [
+                rawi_encode(resize_nearest(rawi_decode(b), out_w, out_h))
+                for b in pdf[bytes_col]
+            ]
+            if "w" in pdf.columns:
+                pdf["w"] = np.int32(out_w)
+            if "h" in pdf.columns:
+                pdf["h"] = np.int32(out_h)
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 2,
+    video_col: str = "video_bytes",
+    id_col: str = "video_id",
+) -> DataFrame:
+    """Video frame sampling plumbing: a "video" is a concatenation of
+    RAWI frames; emit every n-th frame as its own row. (Real container
+    demuxing would need libav — stubbed; the batching/explode shape is
+    the real thing.)"""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("bytes", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for vid, blob in zip(pdf[id_col], pdf[video_col]):
+                blob = bytes(blob)
+                off = 0
+                i = 0
+                while off < len(blob):
+                    import struct as _s
+
+                    w, h = _s.unpack("<II", blob[off + 4 : off + 12])
+                    size = 12 + w * h * 3
+                    if i % every_n == 0:
+                        ids.append(vid)
+                        idxs.append(i)
+                        frames.append(blob[off : off + size])
+                    off += size
+                    i += 1
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "frame_idx": np.array(idxs, dtype=np.int32), "bytes": frames}
+                )
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def verify_roundtrip_psnr(
+    df: DataFrame, original_col: str = "bytes", decoded_col: str = "bytes2"
+) -> DataFrame:
+    """Per-row decoded-pixel PSNR between two byte columns (the
+    BASELINE.json invariant: PSNR >= 40 dB for lossy round-trips;
+    lossless paths give inf, reported as 999.0)."""
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("psnr_db", T.DoubleType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = []
+            for a, b in zip(pdf[original_col], pdf[decoded_col]):
+                p = psnr(rawi_decode(a), rawi_decode(b))
+                vals.append(999.0 if p == float("inf") else p)
+            pdf = pdf.copy()
+            pdf["psnr_db"] = vals
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
