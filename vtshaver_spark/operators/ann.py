@@ -111,13 +111,15 @@ def lsh_cosine_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: Optional[int] = None,
+    probe_bits: int = 2,
     vec_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: SRP bucket equi-join (query probes its own
-    bucket plus all 1-bit-flip neighbors), exact cosine re-rank within
-    candidates. Recall/efficiency knob: n_planes."""
+    """Approximate top-k: SRP bucket equi-join with multiprobe (query
+    probes every bucket within ``probe_bits`` bit flips of its own),
+    exact cosine re-rank within candidates. Recall/efficiency knobs:
+    n_planes (bucket granularity) and probe_bits (candidate breadth)."""
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes)
@@ -127,9 +129,16 @@ def lsh_cosine_topk(
     q = queries.select(
         F.col(query_id), F.col(vec_col).cast("array<double>").alias("_qv")
     ).withColumn("_b0", srp_bucket(F.col("_qv"), planes))
-    probes = F.array(
-        F.col("_b0"), *[F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-    )
+    masks = [0]
+    if probe_bits >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    probes = F.array(*[F.col("_b0").bitwiseXOR(F.lit(m)) for m in masks])
     q_probed = F.broadcast(
         q.withColumn("_bucket", F.explode(probes)).drop("_b0")
     )
