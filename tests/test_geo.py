@@ -104,15 +104,20 @@ def test_s2_cells_distinct_faces():
 
 
 def test_s2_locality_and_hierarchy():
-    # nearby points share coarse parents; parents strictly coarsen
-    lon = np.array([-122.42, -122.4201, -122.43, 10.0])
-    lat = np.array([37.77, 37.7701, 37.78, 50.0])
+    # ~10m-apart points share parents up to fine levels; distant points
+    # differ. (Points CAN straddle a coarse cell boundary — an inherent
+    # S2 property — so only the near-identical pair is asserted.)
+    lon = np.array([-122.42, -122.4201, 10.0])
+    lat = np.array([37.77, 37.7701, 50.0])
     leaf = s2_cell_id_np(lon, lat, level=30)
-    parents = s2_parent_np(leaf, level=8)
-    assert parents[0] == parents[1] == parents[2]
-    assert parents[0] != parents[3]
-    finer = s2_parent_np(leaf, level=16)
-    assert finer[0] == finer[1]
+    for lvl in (4, 8, 16):
+        parents = s2_parent_np(leaf, level=lvl)
+        assert parents[0] == parents[1]
+        assert parents[0] != parents[2]
+    # hierarchy: a finer parent refines its coarser parent's prefix
+    p8 = s2_parent_np(leaf, level=8)
+    p16 = s2_parent_np(leaf, level=16)
+    assert s2_parent_np(p16, level=8).tolist() == p8.tolist()
 
 
 def test_s2_udf(spark):

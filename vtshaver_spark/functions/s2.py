@@ -71,9 +71,10 @@ def _xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
 
 def _uv_to_st(u: np.ndarray) -> np.ndarray:
     """S2's quadratic projection (area-uniformizing)."""
-    return np.where(
-        u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
-    )
+    with np.errstate(invalid="ignore"):  # np.where evaluates both branches
+        return np.where(
+            u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
+        )
 
 
 def _st_to_ij(s: np.ndarray, level: int) -> np.ndarray:
