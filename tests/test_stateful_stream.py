@@ -31,7 +31,7 @@ def test_stream_dedup(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
     assert q.exception() is None
     rows = spark.sql("SELECT doc_id FROM dedup_out").collect()
     q.stop()

@@ -35,7 +35,7 @@ def test_stream_shave(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    q.awaitTermination()
     # watermarked append-mode windows only emit on watermark advance;
     # assert the stream ran and the in-flight state saw the one cafe row
     progress = q.lastProgress
@@ -54,7 +54,7 @@ def test_stream_shave(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(60)
+    q2.awaitTermination()
     rows = spark.sql("SELECT * FROM layer_counts").collect()
     q2.stop()
     assert {(r["layer"], r["count"]) for r in rows} == {("poi_label", 1)}
