@@ -90,27 +90,58 @@ def knn_join_broadcast(
         ]
     )
 
+    m = len(lm_id)
+    chunk = 4096  # fixed-shape buffers: no per-batch large allocations
+
     def kernel(batches):
+        # Allocation discipline: on this class of VM, concurrent
+        # first-touch faults on fresh mmap'd numpy arrays are ~100x
+        # slower than arithmetic. All (chunk x m) intermediates live in
+        # buffers allocated ONCE per worker and written with out=.
+        dx = np.empty((chunk, m))
+        dy = np.empty((chunk, m))
+        dist = np.empty((chunk, m))
+        idx = np.empty((chunk, kk), dtype=np.int64)
+        best = np.empty((chunk, kk))
+        argmin_buf = np.empty(chunk, dtype=np.intp)
+        rows_ix = np.arange(chunk)
         for pdf in batches:
             if pdf.empty:
                 continue
-            plon = pdf["lon"].to_numpy(dtype=np.float64)
-            plat = pdf["lat"].to_numpy(dtype=np.float64)
-            if metric == "haversine":
-                dist = _haversine_np(plon[:, None], plat[:, None], lm_lon[None, :], lm_lat[None, :])
-            else:
-                dx = plon[:, None] - lm_lon[None, :]
-                dy = plat[:, None] - lm_lat[None, :]
-                dist = dx * dx + dy * dy
-            # stable sort + id-sorted landmarks => deterministic ties
-            idx = np.argsort(dist, axis=1, kind="stable")[:, :kk]
-            data = {
-                c: np.repeat(pdf[c].to_numpy(), kk) for c in pdf.columns
-            }
-            data["rank"] = np.tile(np.arange(1, kk + 1, dtype=np.int32), len(pdf))
-            data[landmark_id] = lm_id[idx.ravel()]
-            data["dist"] = np.take_along_axis(dist, idx, axis=1).ravel()
-            yield pd.DataFrame(data)
+            for lo in range(0, len(pdf), chunk):
+                sub = pdf.iloc[lo : lo + chunk]
+                b = len(sub)
+                plon = sub["lon"].to_numpy(dtype=np.float64)
+                plat = sub["lat"].to_numpy(dtype=np.float64)
+                d, dxv, dyv = dist[:b], dx[:b], dy[:b]
+                if metric == "haversine":
+                    d[:] = _haversine_np(
+                        plon[:, None], plat[:, None], lm_lon[None, :], lm_lat[None, :]
+                    )
+                else:
+                    np.subtract(plon[:, None], lm_lon[None, :], out=dxv)
+                    np.subtract(plat[:, None], lm_lat[None, :], out=dyv)
+                    np.multiply(dxv, dxv, out=dxv)
+                    np.multiply(dyv, dyv, out=dyv)
+                    np.add(dxv, dyv, out=d)
+                # k argmin passes (allocation-free): argmin returns the
+                # FIRST minimum, and landmarks are id-sorted, so ties
+                # break toward the smaller id — same order as a stable
+                # sort by (dist, id).
+                am = argmin_buf[:b]
+                ri = rows_ix[:b]
+                for j in range(kk):
+                    np.argmin(d, axis=1, out=am)
+                    idx[:b, j] = am
+                    best[:b, j] = d[ri, am]
+                    d[ri, am] = np.inf
+                data = {
+                    c: np.repeat(sub[c].to_numpy(), kk) for c in sub.columns
+                }
+                data["rank"] = np.tile(np.arange(1, kk + 1, dtype=np.int32), b)
+                data[landmark_id] = lm_id[idx[:b].ravel()]
+                data["dist"] = best[:b].ravel()
+                yield pd.DataFrame(data)
 
     return points.mapInPandas(kernel, schema=out_schema)
 

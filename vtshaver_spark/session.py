@@ -19,6 +19,15 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Python workers inherit this env (driver -> JVM -> daemon): keep
+    # big numpy buffers on the sbrk heap instead of per-alloc mmap.
+    # Measured on this VM: concurrent first-touch page faults of fresh
+    # mmap'd arrays run ~100x slower than reused heap pages, turning
+    # millisecond kernels into minutes (glibc re-mmaps every equal-size
+    # large alloc since the threshold only ratchets past *smaller*
+    # sizes).
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
