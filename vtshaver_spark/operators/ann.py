@@ -45,25 +45,59 @@ def cosine_topk(
     query_id: str = "query_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine: broadcast queries x all vectors.
+    """Exact top-k by cosine against a broadcast-sized query set.
+
+    Physical plan: the query matrix rides into a ``mapInPandas`` kernel
+    (numpy matmul per Arrow batch — Spark's higher-order array lambdas
+    evaluate interpreted per element, ~100x slower); each batch emits
+    its local top-k per query (any global winner is a local winner),
+    and a tiny JVM window merges the per-batch candidates. One shuffle
+    of batches x queries x k rows — independent of corpus size.
 
     Output: query_id, rank, vec_id, cos (ties broken by vec_id).
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id),
-            F.col(vec_col).cast("array<double>").alias("_qv"),
-        )
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_rows = sorted(queries.select(query_id, vec_col).collect(), key=lambda r: r[query_id])
+    q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    n_q = len(q_ids)
+
+    part_schema = T.StructType(
+        [
+            T.StructField(query_id, T.LongType(), False),
+            T.StructField(vec_id, T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+        ]
     )
-    v = vectors.select(
-        F.col(vec_id), F.col(vec_col).cast("array<double>").alias("_vv")
-    )
-    scored = v.crossJoin(q).withColumn("cos", cosine_sim(F.col("_vv"), F.col("_qv")))
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[vec_id].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            cos = (mat @ q_mat.T) / (norms[:, None] * q_norm[None, :])
+            kk = min(k, cos.shape[0])
+            # per-query local top-k; ids ascending + stable sort keeps
+            # tie order identical to the final merge window
+            order = np.argsort(ids, kind="stable")
+            cos_o = cos[order]
+            ids_o = ids[order]
+            sel = np.argsort(-cos_o, axis=0, kind="stable")[:kk]
+            out_q = np.repeat(q_ids, kk)
+            out_v = ids_o[sel].T.ravel()
+            out_c = np.take_along_axis(cos_o, sel, axis=0).T.ravel()
+            yield pd.DataFrame({query_id: out_q, vec_id: out_v, "cos": out_c})
+
+    candidates = vectors.select(vec_id, vec_col).mapInPandas(kernel, schema=part_schema)
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(vec_id).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .drop("_qv", "_vv")
     )
 
 
