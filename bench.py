@@ -202,7 +202,8 @@ def main():
     scaling_mode = "--scaling" in sys.argv
 
     if scaling_mode:
-        lo_cores, hi_cores = 8, 32
+        pair = os.environ.get("SPARK_GRAFT_SCALE_CORES", "8,32").split(",")
+        lo_cores, hi_cores = int(pair[0]), int(pair[1])
         # size the corpus so per-core work dominates fixed per-job costs
         # (the 100 TB regime); same input for both configs
         scale_replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "64"))

@@ -57,7 +57,7 @@ def test_knn_broadcast_matches_bruteforce(spark, points, landmarks):
 def test_knn_broadcast_plan_map_only(spark, points, landmarks):
     # the kNN kernel must be a shuffle-free map stage (Arrow kernel)
     plan = knn_join_broadcast(points, landmarks, k=3)._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan or "MapInPandas" in plan
     assert "Exchange" not in plan
 
 

@@ -81,69 +81,75 @@ def knn_join_broadcast(
     lm_lat = np.array([r["lat"] for r in lm_rows], dtype=np.float64)
     kk = min(k, len(lm_id))
 
-    out_schema = T.StructType(
-        points.schema.fields
-        + [
-            T.StructField("rank", T.IntegerType(), False),
-            T.StructField(landmark_id, T.LongType(), False),
-            T.StructField("dist", T.DoubleType(), False),
-        ]
-    )
-
     m = len(lm_id)
-    chunk = 4096  # fixed-shape buffers: no per-batch large allocations
+
+    wide_fields = list(points.schema.fields)
+    for j in range(kk):
+        wide_fields.append(T.StructField(f"_lid{j}", T.LongType(), False))
+        wide_fields.append(T.StructField(f"_dist{j}", T.DoubleType(), False))
+    wide_schema = T.StructType(wide_fields)
 
     def kernel(batches):
-        # Allocation discipline: on this class of VM, concurrent
-        # first-touch faults on fresh mmap'd numpy arrays are ~100x
-        # slower than arithmetic. All (chunk x m) intermediates live in
-        # buffers allocated ONCE per worker and written with out=.
-        dx = np.empty((chunk, m))
-        dy = np.empty((chunk, m))
-        dist = np.empty((chunk, m))
-        idx = np.empty((chunk, kk), dtype=np.int64)
-        best = np.empty((chunk, kk))
-        argmin_buf = np.empty(chunk, dtype=np.intp)
-        rows_ix = np.arange(chunk)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            for lo in range(0, len(pdf), chunk):
-                sub = pdf.iloc[lo : lo + chunk]
-                b = len(sub)
-                plon = sub["lon"].to_numpy(dtype=np.float64)
-                plat = sub["lat"].to_numpy(dtype=np.float64)
-                d, dxv, dyv = dist[:b], dx[:b], dy[:b]
-                if metric == "haversine":
-                    d[:] = _haversine_np(
-                        plon[:, None], plat[:, None], lm_lon[None, :], lm_lat[None, :]
-                    )
-                else:
-                    np.subtract(plon[:, None], lm_lon[None, :], out=dxv)
-                    np.subtract(plat[:, None], lm_lat[None, :], out=dyv)
-                    np.multiply(dxv, dxv, out=dxv)
-                    np.multiply(dyv, dyv, out=dyv)
-                    np.add(dxv, dyv, out=d)
-                # k argmin passes (allocation-free): argmin returns the
-                # FIRST minimum, and landmarks are id-sorted, so ties
-                # break toward the smaller id — same order as a stable
-                # sort by (dist, id).
-                am = argmin_buf[:b]
-                ri = rows_ix[:b]
-                for j in range(kk):
-                    np.argmin(d, axis=1, out=am)
-                    idx[:b, j] = am
-                    best[:b, j] = d[ri, am]
-                    d[ri, am] = np.inf
-                data = {
-                    c: np.repeat(sub[c].to_numpy(), kk) for c in sub.columns
-                }
-                data["rank"] = np.tile(np.arange(1, kk + 1, dtype=np.int32), b)
-                data[landmark_id] = lm_id[idx[:b].ravel()]
-                data["dist"] = best[:b].ravel()
-                yield pd.DataFrame(data)
+        # mapInArrow kernel. Two disciplines, both measured on this VM:
+        # (1) allocation-free math — concurrent first-touch faults on
+        # fresh mmap'd arrays run ~100x slower than arithmetic, so all
+        # (B x m) intermediates live in grow-only buffers written with
+        # out= ufuncs; (2) zero-copy passthrough — point columns
+        # (strings included) are re-emitted as the SAME Arrow buffers,
+        # output is WIDE (k lid/dist numeric pairs per point row) and
+        # the k-row explosion happens JVM-side in codegen (stack).
+        import pyarrow as pa
 
-    return points.mapInPandas(kernel, schema=out_schema)
+        cap = 0
+        dx = dy = dist = am = ri = None
+        for rb in batches:
+            b = rb.num_rows
+            if b == 0:
+                continue
+            if b > cap:
+                cap = max(b, 10000)
+                dx = np.empty((cap, m))
+                dy = np.empty((cap, m))
+                dist = np.empty((cap, m))
+                am = np.empty(cap, dtype=np.intp)
+                ri = np.arange(cap)
+            plon = rb.column("lon").to_numpy(zero_copy_only=False)
+            plat = rb.column("lat").to_numpy(zero_copy_only=False)
+            d, dxv, dyv = dist[:b], dx[:b], dy[:b]
+            if metric == "haversine":
+                d[:] = _haversine_np(
+                    plon[:, None], plat[:, None], lm_lon[None, :], lm_lat[None, :]
+                )
+            else:
+                np.subtract(plon[:, None], lm_lon[None, :], out=dxv)
+                np.subtract(plat[:, None], lm_lat[None, :], out=dyv)
+                np.multiply(dxv, dxv, out=dxv)
+                np.multiply(dyv, dyv, out=dyv)
+                np.add(dxv, dyv, out=d)
+            # k argmin passes (allocation-free): argmin returns the
+            # FIRST minimum, and landmarks are id-sorted, so ties break
+            # toward the smaller id — same as a stable (dist, id) sort.
+            a = am[:b]
+            r = ri[:b]
+            arrays = list(rb.columns)
+            names = list(rb.schema.names)
+            for j in range(kk):
+                np.argmin(d, axis=1, out=a)
+                arrays.append(pa.array(lm_id[a]))
+                names.append(f"_lid{j}")
+                arrays.append(pa.array(d[r, a]))
+                names.append(f"_dist{j}")
+                d[r, a] = np.inf
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    wide = points.mapInArrow(kernel, schema=wide_schema)
+    stack_args = ", ".join(
+        f"{j + 1}, _lid{j}, _dist{j}" for j in range(kk)
+    )
+    return wide.selectExpr(
+        *points.columns,
+        f"stack({kk}, {stack_args}) AS (rank, {landmark_id}, dist)",
+    ).withColumn("rank", F.col("rank").cast("int"))
 
 
 def _haversine_np(lon1, lat1, lon2, lat2):
