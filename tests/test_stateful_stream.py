@@ -31,7 +31,8 @@ def test_stream_dedup(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination()
+    finished = q.awaitTermination(timeout=180)
+    assert finished, "availableNow drain did not terminate within 180s"
     assert q.exception() is None
     rows = spark.sql("SELECT doc_id FROM dedup_out").collect()
     q.stop()

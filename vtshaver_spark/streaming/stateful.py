@@ -20,13 +20,19 @@ def stream_dedup(
     stream_df: DataFrame,
     key_col: str = "doc_id",
     bucket_col: str = "bucket",
-    state_timeout_ms: int = 3_600_000,
+    state_timeout_ms: int = 0,
 ) -> DataFrame:
     """Emit each key at most once across the stream's lifetime.
 
     The stream must carry a ``bucket`` grouping column (e.g.
     ``pmod(xxhash64(key), N)``) so state shards across tasks; the
     seen-set lives per bucket.
+
+    ``state_timeout_ms`` bounds memory for idle buckets on continuous
+    triggers. It defaults to 0 (NoTimeout): arming a
+    ProcessingTimeTimeout re-schedules work every micro-batch, so a
+    ``trigger(availableNow=True)`` drain never reaches termination —
+    only opt in for genuinely continuous queries.
     """
     out_schema = T.StructType(
         [
@@ -56,10 +62,15 @@ def stream_dedup(
         if fresh:
             yield pd.DataFrame({bucket_col: [bucket] * len(fresh), key_col: fresh})
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
     return stream_df.groupBy(bucket_col).applyInPandasWithState(
         dedup_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf,
     )
