@@ -18,10 +18,16 @@ from pyspark.sql import functions as F
 from vtshaver_spark import Filters, style_to_filters
 from vtshaver_spark.functions import geo
 from vtshaver_spark.functions.text import (
+    _STOPWORDS,
     lang_guess,
     token_count,
 )
-from vtshaver_spark.operators.ann import cosine_topk, lsh_cosine_topk
+from vtshaver_spark.operators.ann import (
+    _hyperplanes,
+    cosine_topk,
+    lsh_cosine_topk,
+    srp_probe_masks,
+)
 from vtshaver_spark.operators.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard,
@@ -320,8 +326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_rollup"] = lang_rollup
 
     def lang_id_guess(spark, sf_dir):
-        # heuristic language ID — no SQL oracle (rows-only check);
-        # golden-tested in tests/test_text.py
+        # heuristic language ID — oracled via the same stopword-vote
+        # CASE in DuckDB; golden-tested in tests/test_text.py
         register_views(spark, sf_dir)
         return spark.table("documents").select(
             "doc_id", lang_guess(F.col("text")).alias("lang_guess")
@@ -344,8 +350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_top5"] = ann_exact
 
     def ann_lsh(spark, sf_dir):
-        # approximate ANN (SRP-LSH + multiprobe) — rows-only check;
-        # recall vs exact is golden-tested in tests/test_ann.py
+        # approximate ANN (SRP-LSH + multiprobe) — oracled by
+        # replaying the deterministic hyperplane buckets + probes in
+        # SQL; recall vs exact is golden-tested in tests/test_ann.py
         register_views(spark, sf_dir)
         emb = spark.table("embeddings")
         queries_df = emb.filter(F.col("vec_id") < 5).select(
@@ -359,10 +366,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_top5"] = ann_lsh
 
     def minhash_near_dup(spark, sf_dir):
-        # MinHash-LSH candidates + exact Jaccard verify — rows-only
+        # MinHash-LSH candidates + exact Jaccard verify. The portable
+        # (DuckDB-reproducible md5) hash mode lets the oracle replay
+        # the ENTIRE pipeline — signatures, band buckets, bucket-size
+        # filter, candidate join, Jaccard — value-exactly in SQL.
+        # Production uses hash_mode="fast" (xxhash64+multiply-shift,
+        # same structure; benched in bench.py).
         register_views(spark, sf_dir)
         d = spark.table("documents")
-        cands = minhash_lsh_candidates(d, num_hashes=32, bands=8)
+        cands = minhash_lsh_candidates(
+            d, num_hashes=32, bands=8, hash_mode="portable"
+        )
         return (
             ngram_jaccard(d, cands)
             .filter(F.col("jaccard") >= 0.5)
@@ -372,10 +386,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_near_dups"] = minhash_near_dup
 
     def simhash_pairs(spark, sf_dir):
-        # SimHash near-dup pairs — rows-only
+        # SimHash near-dup pairs, portable 60-bit hash. blocks=10 >
+        # max_hamming=6 keeps the pigeonhole guarantee, so the output
+        # equals ALL pairs with Hamming <= 6 — which is exactly what
+        # the brute-force oracle computes.
         register_views(spark, sf_dir)
         return simhash_near_dups(
-            spark.table("documents"), max_hamming=6, blocks=4
+            spark.table("documents"),
+            max_hamming=6,
+            blocks=10,
+            hash_mode="portable",
+            n_bits=60,
         ).select("doc_a", "doc_b", "hamming")
 
     q["simhash_near_dups"] = simhash_pairs
@@ -518,9 +539,184 @@ FROM documents
 """
 
     o["lang_rollup"] = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY lang
+"""
+
+    # stopword-vote language ID: scores per language, ties resolved in
+    # the same priority order as the Column expression (last lang in
+    # sorted order wraps outermost -> checked first)
+    langs = sorted(_STOPWORDS)
+    score_exprs = {
+        lang: (
+            "len(list_filter(toks, x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+            + "], x)))"
+        )
+        for lang in langs
+    }
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    tie_cases = "\n  ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in reversed(langs)
+    )
+    o["lang_id_guess"] = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         {", ".join(f"{score_exprs[lang]} AS s_{lang}" for lang in langs)}
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN {best} <= 0 THEN 'und'
+  {tie_cases}
+  ELSE 'und' END AS lang_guess
+FROM s
+"""
+
+    P60 = 1 << 60
+    # SimHash brute-force oracle: with blocks > max_hamming the
+    # pigeonhole output is provably ALL pairs at Hamming <= 6, so the
+    # oracle is the direct all-pairs scan over the same portable
+    # 60-bit fingerprints.
+    vote_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    fp_expr = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(60))
+    o["simhash_near_dups"] = f"""
+WITH tok AS (
+  SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+),
+h AS (SELECT doc, md5_number_lower(t) % {P60} AS hv FROM tok),
+votes AS (
+  SELECT doc,
+         {vote_cols}
+  FROM h GROUP BY doc
+),
+fp AS (SELECT doc, CAST({fp_expr} AS BIGINT) AS simhash FROM votes)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+    # MinHash-LSH full-pipeline oracle (portable hash): signatures,
+    # band buckets, bucket-size filter, candidate pairs, exact Jaccard.
+    n_hashes, n_bands = 32, 8
+    rpb = n_hashes // n_bands
+    min_cols = ",\n         ".join(
+        f"MIN(md5_number_lower('{j}:' || sg) % {P60}) AS h{j}" for j in range(n_hashes)
+    )
+    bucket_cases = "\n    ".join(
+        "WHEN {b} THEN concat_ws(',', {parts})".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(h{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    o["minhash_near_dups"] = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(len(t) - 2),
+                               i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))
+           ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM toks
+),
+ex AS (SELECT doc, unnest(s) AS sg FROM sh),
+sig AS (
+  SELECT doc,
+         {min_cols}
+  FROM ex GROUP BY doc
+),
+banded AS (
+  SELECT doc, bnd.band,
+         md5_number_lower(CASE bnd.band
+    {bucket_cases}
+    END) % {P60} AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range({n_bands})) AS band) bnd
+),
+keep AS (
+  SELECT band, bucket FROM banded
+  GROUP BY band, bucket HAVING COUNT(*) >= 2 AND COUNT(*) <= 1000
+),
+bk AS (SELECT banded.* FROM banded JOIN keep USING (band, bucket)),
+cand AS (
+  SELECT l.doc AS doc_a, r.doc AS doc_b
+  FROM bk l JOIN bk r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc < r.doc
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT c.doc_a, c.doc_b,
+         CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+              THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.s, sb.s)))
+              ELSE 0.0 END AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc = c.doc_a
+  JOIN sh sb ON sb.doc = c.doc_b
+)
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard_r
+FROM ver WHERE jaccard >= 0.5
+"""
+
+    # SRP-LSH ANN oracle: replay the deterministic hyperplanes,
+    # sign-packed buckets, multiprobe masks, and cosine re-rank in SQL.
+    planes = _hyperplanes(64, 8)
+    masks = srp_probe_masks(8, 2)
+
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(c)) for c in plane) + "]"
+            terms.append(
+                f"{1 << i} * (CASE WHEN list_dot_product({col}, {lit}) >= 0 "
+                f"THEN 1 ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    o["ann_lsh_top5"] = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id >= 5
+),
+vb AS (SELECT vec_id, emb, {bucket_expr("emb")} AS bucket FROM v),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < 5
+),
+qb AS (SELECT query_id, emb, {bucket_expr("emb")} AS b0 FROM q),
+probes AS (
+  SELECT query_id, emb AS qemb,
+         xor(CAST(b0 AS BIGINT), CAST(m.mask AS BIGINT)) AS bucket
+  FROM qb CROSS JOIN (SELECT unnest([{", ".join(str(m) for m in masks)}]) AS mask) m
+),
+scored AS (
+  SELECT p.query_id, vb.vec_id,
+         list_dot_product(vb.emb, p.qemb)
+           / (SQRT(list_dot_product(vb.emb, vb.emb))
+              * SQRT(list_dot_product(p.qemb, p.qemb))) AS cos
+  FROM vb JOIN probes p ON vb.bucket = p.bucket
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, ROUND(cos, 6) AS cos_r
+FROM ranked WHERE rank <= 5
 """
 
     o["ann_cosine_top5"] = """

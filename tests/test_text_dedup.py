@@ -102,10 +102,33 @@ def test_simhash_hamming(spark, docs):
 def test_simhash_near_dups(spark, docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in simhash_near_dups(docs, max_hamming=10, blocks=4).collect()
+        for r in simhash_near_dups(docs, max_hamming=10, blocks=16).collect()
     }
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
     assert all({a, b} != {1, 5} for a, b in pairs)
+
+
+def test_simhash_pigeonhole_guard(spark, docs):
+    # blocks <= max_hamming silently violates the recall guarantee —
+    # must be rejected (ADVICE r1)
+    import pytest
+
+    with pytest.raises(ValueError, match="blocks > max_hamming"):
+        simhash_near_dups(docs, max_hamming=6, blocks=4)
+
+
+def test_portable_hash_modes_match_structure(spark, docs):
+    # portable and fast modes share pipeline structure: same candidate
+    # pair semantics on identical content (exact dups collide under
+    # any hash family)
+    from vtshaver_spark.operators.dedup import minhash_lsh_candidates
+
+    for mode in ("fast", "portable"):
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_candidates(docs, hash_mode=mode).collect()
+        }
+        assert (1, 2) in pairs, mode
 
 
 def test_fingerprint_normalization(spark, docs):

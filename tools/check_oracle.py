@@ -48,6 +48,7 @@ def value_hash(rows, columns):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query-name filter
     spark = build_session(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in BASE_TABLES:
@@ -58,6 +59,8 @@ def main():
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()

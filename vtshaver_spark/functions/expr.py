@@ -78,7 +78,15 @@ def is_expression_filter(filt: Any) -> bool:
         return False
     if op == "has":
         return len(filt) >= 2 and filt[1] not in ("$id", "$type")
-    if op in ("in", "!in", "!has", "none"):
+    if op == "in":
+        # mbgl isExpressionFilter: ["in", needle, haystack] is an
+        # expression when the needle is not a key string or the
+        # haystack is itself an expression array
+        # (test/vtshaver.test.js:957,985 exercises the expression form)
+        return len(filt) >= 3 and (
+            not isinstance(filt[1], str) or isinstance(filt[2], list)
+        )
+    if op in ("!in", "!has", "none"):
         return False
     if op in _LEGACY_COMPARE:
         return (

@@ -112,6 +112,31 @@ def md5_fingerprint(col: Column) -> Column:
     return F.md5(col)
 
 
+# DuckDB-parity modulus for portable_hash60 (2^60).
+PORTABLE60_MOD = 1 << 60
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit hash computable bit-identically in DuckDB.
+
+    Equals ``md5_number_lower(x) % 2^60`` in DuckDB: the little-endian
+    uint64 of md5-digest bytes 8..15, keeping the low 60 bits so the
+    value fits a signed BIGINT on both engines with identical numeric
+    ordering (MIN/MAX/compare parity — required for MinHash oracles).
+    Used by the correctness-gate "portable" hash mode; production paths
+    use xxhash64 (one JVM codegen op, no hex round-trip).
+    """
+    h = F.md5(col)
+    # LE byte reversal: hex pairs for bytes 15..8 are chars
+    # (31,32),(29,30),...,(17,18); dropping the leading nibble of
+    # byte 15 leaves the low 60 bits as 15 hex chars.
+    rev60 = F.concat(
+        F.substring(h, 32, 1),
+        *[F.substring(h, 31 - 2 * i, 2) for i in range(1, 8)],
+    )
+    return F.conv(rev60, 16, 10).cast("long")
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array column (for MinHash/Jaccard)."""
     toks = tokens(col)

@@ -122,21 +122,52 @@ def _hyperplanes(dim: int, n_planes: int, seed: str = "vtshaver-ann-v1") -> np.n
     return planes / np.linalg.norm(planes, axis=1, keepdims=True)
 
 
-def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-random-projection bucket id (one bit per hyperplane)."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array([F.lit(float(c)) for c in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return bucket
+def _srp_bucket_np(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-random-projection bucket ids for a row-matrix: one matmul
+    against the plane matrix, sign-packed into int64 (one bit per
+    hyperplane)."""
+    bits = (mat @ planes.T) >= 0
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def with_srp_bucket(
+    df: DataFrame,
+    planes: np.ndarray,
+    vec_col: str,
+    bucket_col: str = "_bucket",
+) -> DataFrame:
+    """Append an SRP bucket column via an Arrow-batch numpy kernel.
+
+    A Column formulation (zip_with/aggregate per plane) evaluates
+    Spark's higher-order lambdas interpreted per element — measured
+    ~100x slower than this batched matmul (same pathology PLANS.md
+    documents for kNN/cosine). Map-only: no shuffle, passthrough of
+    all input columns.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(bucket_col, T.LongType(), False)]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            pdf[bucket_col] = _srp_bucket_np(mat, planes)
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def cosine_pairs_fast(vec_a: Column, vec_b: Column) -> Column:
+    """Vectorized cosine over two array<double> columns (Arrow-batched
+    pandas UDF — for re-ranking joined candidate pairs)."""
+    from vtshaver_spark.functions.pandas_kernels import cosine_pairs_udf
+
+    return cosine_pairs_udf(vec_a, vec_b)
 
 
 def lsh_cosine_topk(
@@ -157,12 +188,44 @@ def lsh_cosine_topk(
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes)
-    v = vectors.select(
-        F.col(vec_id), F.col(vec_col).cast("array<double>").alias("_vv")
-    ).withColumn("_bucket", srp_bucket(F.col("_vv"), planes))
-    q = queries.select(
-        F.col(query_id), F.col(vec_col).cast("array<double>").alias("_qv")
-    ).withColumn("_b0", srp_bucket(F.col("_qv"), planes))
+    masks = srp_probe_masks(n_planes, probe_bits)
+    # corpus side: bucket via Arrow matmul kernel (map-only)
+    v = with_srp_bucket(
+        vectors.select(
+            F.col(vec_id), F.col(vec_col).cast("array<double>").alias("_vv")
+        ),
+        planes,
+        "_vv",
+    )
+    # query side is broadcast-sized by contract: bucket + multiprobe
+    # expansion on the driver (numpy), shipped as a broadcast join side
+    q_rows = sorted(queries.select(query_id, vec_col).collect(), key=lambda r: r[query_id])
+    q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    b0 = _srp_bucket_np(q_mat, planes)
+    probe_rows = [
+        (int(r[query_id]), [float(x) for x in r[vec_col]], int(b0[i]) ^ m)
+        for i, r in enumerate(q_rows)
+        for m in masks
+    ]
+    q_probed = F.broadcast(
+        vectors.sparkSession.createDataFrame(
+            probe_rows, f"{query_id} long, _qv array<double>, _bucket long"
+        )
+    )
+    scored = v.join(q_probed, "_bucket").withColumn(
+        "cos", cosine_pairs_fast(F.col("_vv"), F.col("_qv"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(vec_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_qv", "_vv", "_bucket")
+    )
+
+
+def srp_probe_masks(n_planes: int, probe_bits: int) -> list:
+    """Multiprobe XOR masks: own bucket, then all buckets within
+    ``probe_bits`` bit flips."""
     masks = [0]
     if probe_bits >= 1:
         masks += [1 << i for i in range(n_planes)]
@@ -172,16 +235,4 @@ def lsh_cosine_topk(
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
-    probes = F.array(*[F.col("_b0").bitwiseXOR(F.lit(m)) for m in masks])
-    q_probed = F.broadcast(
-        q.withColumn("_bucket", F.explode(probes)).drop("_b0")
-    )
-    scored = v.join(q_probed, "_bucket").withColumn(
-        "cos", cosine_sim(F.col("_vv"), F.col("_qv"))
-    )
-    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(vec_id).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .drop("_qv", "_vv", "_bucket")
-    )
+    return masks

@@ -11,10 +11,52 @@ are built with higher-order array functions.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vtshaver_spark.functions.text import fingerprint64, shingles, tokens
+from vtshaver_spark.functions.text import (
+    fingerprint64,
+    portable_hash60,
+    shingles,
+    tokens,
+)
+
+
+def _family_constants(j: int) -> tuple[int, int]:
+    """Deterministic (a, b) pair for the j-th multiply-shift hash:
+    a odd in [1, 2^31-2], b in [0, 2^31). Derived from md5 so the
+    family is reproducible without RNG state."""
+    d = hashlib.md5(f"vtshaver-mh:{j}".encode()).digest()
+    a = (int.from_bytes(d[:4], "big") % ((1 << 31) - 3)) | 1
+    b = int.from_bytes(d[4:8], "big") % (1 << 31)
+    return a, b
+
+
+def _salted_hash(col: Column, j: int, hash_mode: str) -> Column:
+    """j-th member of an independent hash family over a string column.
+
+    ``fast``  — ONE xxhash64 of the string, then a 32-bit
+                multiply-shift (a_j * (h & 0xffffffff) + b_j): the
+                string is hashed once regardless of family size, each
+                extra member costs two long ops and stays inside
+                signed-64 range (ANSI-safe). This is the 100 TB path.
+    ``portable`` — md5-derived 60-bit hash with the salt concatenated,
+                bit-identical to DuckDB ``md5_number_lower`` (the
+                correctness-oracle path; ~10x slower, value-exact).
+    """
+    if hash_mode == "portable":
+        return portable_hash60(F.concat(F.lit(f"{j}:"), col))
+    a, b = _family_constants(j)
+    base32 = F.xxhash64(col).bitwiseAND(F.lit(0xFFFFFFFF))
+    return base32 * F.lit(a) + F.lit(b)
+
+
+def _bucket_hash(col: Column, hash_mode: str) -> Column:
+    if hash_mode == "portable":
+        return portable_hash60(col)
+    return F.xxhash64(col)
 
 
 def exact_dedup(
@@ -42,16 +84,19 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """MinHash signatures: one row per doc, ``sig: array<bigint>``.
 
-    Hash family: xxhash64 salted by the hash index (an equivalent
-    independent family). Formulated as explode + ONE grouped
-    aggregation with ``num_hashes`` MIN columns: the shingle
-    tokenization (regex) runs exactly once per document, the 32 hash
-    evaluations run per exploded shingle row with map-side combine —
-    the shape that scales (a per-row array<transform> recomputes the
-    regex per hash and serializes on wide rows).
+    Formulated as explode + ONE grouped aggregation with
+    ``num_hashes`` MIN columns: the shingle tokenization (regex) runs
+    exactly once per document and map-side partials shrink the shuffle
+    to one row per doc. In the default ``fast`` hash mode each shingle
+    string is hashed ONCE (xxhash64) and the family is derived by
+    32-bit multiply-shift — 2 long ops per extra hash instead of a
+    fresh string hash (measured dominant cost of the LSH suite).
+    ``portable`` mode uses the DuckDB-reproducible md5 hash for the
+    correctness oracle.
 
     Docs with no shingles (shorter than the shingle width) are absent
     from the output, matching "no signature".
@@ -60,10 +105,19 @@ def minhash_signatures(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_s"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(f"_h{j}")
-        for j in range(num_hashes)
-    ]
+    if hash_mode == "fast":
+        # hash the string once; the family is affine in the 32-bit base
+        sh = sh.withColumn("_b32", F.xxhash64("_s").bitwiseAND(F.lit(0xFFFFFFFF)))
+        consts = [_family_constants(j) for j in range(num_hashes)]
+        aggs = [
+            F.min(F.col("_b32") * F.lit(a) + F.lit(b)).alias(f"_h{j}")
+            for j, (a, b) in enumerate(consts)
+        ]
+    else:
+        aggs = [
+            F.min(_salted_hash(F.col("_s"), j, hash_mode)).alias(f"_h{j}")
+            for j in range(num_hashes)
+        ]
     return (
         sh.groupBy("doc")
         .agg(*aggs)
@@ -78,14 +132,24 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_mode: str = "fast",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     rows/bands rows shuffle per doc (band keys), self-join per bucket,
     pairs deduped with id ordering. Output: (doc_a, doc_b, n_shared_bands).
+
+    Buckets are pre-filtered to size in [2, max_bucket_size]: the >= 2
+    bound drops the (dominant) singleton buckets before the self-join,
+    and the cap bounds the quadratic blow-up of degenerate hot buckets
+    (boilerplate-heavy corpora collapse into one bucket whose
+    size^2/2 pairs would dwarf the rest of the job). A capped bucket
+    is all near-identical content — route it to exact_dedup instead of
+    pairwise comparison.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_mode)
     banded = sig.select(
         "doc",
         F.explode(
@@ -93,14 +157,15 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        _bucket_hash(
                             F.concat_ws(
                                 ",",
                                 *[
                                     F.col("_sig")[b * rows_per_band + r].cast("string")
                                     for r in range(rows_per_band)
                                 ],
-                            )
+                            ),
+                            hash_mode,
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -108,6 +173,11 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    keep = sizes.filter(F.col("_n") >= 2)
+    if max_bucket_size is not None:
+        keep = keep.filter(F.col("_n") <= max_bucket_size)
+    banded = banded.join(keep.select("band", "bucket"), ["band", "bucket"])
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -156,29 +226,40 @@ def ngram_jaccard(
 
 
 def simhash64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "fast",
+    n_bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash per document.
+    """SimHash fingerprint per document (64-bit default).
 
     Classic bit-vote construction, fully relational: explode tokens,
-    hash each (xxhash64), then for every bit position sum +1/-1 votes
-    in ONE aggregation (64 conditional sums, map-side combined), and
-    reassemble the fingerprint from vote signs.
+    hash each (xxhash64; ``portable`` mode uses the 60-bit
+    DuckDB-reproducible md5 hash, so pass n_bits=60 with it), then for
+    every bit position sum +1/-1 votes in ONE aggregation (n_bits
+    conditional sums, map-side combined), and reassemble the
+    fingerprint from vote signs.
     """
+    if hash_mode == "portable" and n_bits > 60:
+        raise ValueError("portable hash provides 60 bits; pass n_bits<=60")
     tok = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h",
+        portable_hash60(F.col("tok")) if hash_mode == "portable" else F.xxhash64("tok"),
+    )
     votes = tok.groupBy("doc").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         fp = fp + F.when(
             F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -191,6 +272,8 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    hash_mode: str = "fast",
+    n_bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming.
 
@@ -198,9 +281,19 @@ def simhash_near_dups(
     chunks — any pair within the distance budget shares at least one
     exact chunk, so candidates come from equi-joins on chunk values
     (no quadratic blow-up), then exact popcount verification.
+
+    The pigeonhole guarantee requires ``blocks > max_hamming``: a pair
+    differing in max_hamming bits spread across max_hamming distinct
+    chunks still shares one of blocks > max_hamming chunks.
     """
-    width = 64 // blocks
-    sim = simhash64(df, id_col, text_col)
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole blocking needs blocks > max_hamming "
+            f"(got blocks={blocks}, max_hamming={max_hamming}); "
+            f"pairs would be silently dropped"
+        )
+    width = n_bits // blocks
+    sim = simhash64(df, id_col, text_col, hash_mode, n_bits)
     mask = (1 << width) - 1
     chunks = sim.select(
         "doc",
