@@ -36,6 +36,7 @@ from vtshaver_spark.operators.dedup import (
 from vtshaver_spark.operators.knn import caption_landmark_join, knn_join_broadcast
 from vtshaver_spark.operators.pip import pip_rect_join
 from vtshaver_spark.operators.shave import shave
+from vtshaver_spark.sources.mvt import decode_tiles, encode_tiles_mvt
 from vtshaver_spark.sources.views import (
     DERIVED_VIEWS,
     FEATURES_SQL,
@@ -220,6 +221,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         ],
     )
+
+    def mvt_roundtrip(spark, sf_dir):
+        # O10/O19 at the real wire format: encode the feature corpus
+        # into MVT protobuf blobs per (z,x,y), decode back, and emit
+        # the row census — the oracle is the identity SELECT, so any
+        # codec asymmetry (key tables, value typing, id handling)
+        # breaks the hash.
+        register_views(spark, sf_dir)
+        df = features_with_props(spark).select(
+            "z", "x", "y", "layer", "feature_id", "geom_type", "props"
+        )
+        tiles = encode_tiles_mvt(df)
+        rows = decode_tiles(tiles)
+        return rows.select(
+            "z",
+            "x",
+            "y",
+            "feature_id",
+            "layer",
+            "geom_type",
+            F.array_join(F.array_sort(F.map_keys("props")), ",").alias("prop_keys"),
+            F.col("props")["maki"].alias("maki"),
+        )
+
+    q["mvt_roundtrip"] = mvt_roundtrip
 
     # --- tiling / cells (G1, G2, G7) -------------------------------------
     def tile_assign(spark, sf_dir):
@@ -462,6 +488,19 @@ SELECT feature_id, layer,
   END AS kept_keys
 FROM features_v
 WHERE layer IN ('road', 'poi_label') AND {GEOM_OK}
+""")
+
+    prop_cols = [
+        "class", "filterrank", "maki", "oneway", "structure", "type",
+        "underground",
+    ]
+    keys_expr = "concat_ws(',', " + ", ".join(
+        f"CASE WHEN {c} IS NOT NULL THEN '{c}' END" for c in prop_cols
+    ) + ")"
+    o["mvt_roundtrip"] = _oracle(f"""
+SELECT z, x, y, feature_id, layer, geom_type,
+       {keys_expr} AS prop_keys, maki
+FROM features_v
 """)
 
     tx5 = geo.tile_x_sql("lon", 5)

@@ -1,0 +1,184 @@
+"""MVT protobuf codec: reference-fixture goldens + Spark roundtrip.
+
+Pins mirror the reference's own assertions over the same tile
+(/root/reference/test/vtshaver.test.js:422-437 cafe ``==`` -> poi_label
+1 feature; :464-486 ``!=`` -> 12; :406-420 water keep-all; pre-test
+:55-59 7-layer census) — decoded row-set equality replacing byte
+equality per SURVEY §1.2.
+"""
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from vtshaver_spark import Filters, style_to_filters
+from vtshaver_spark.operators.shave import shave
+from vtshaver_spark.sources.mvt import (
+    MVTError,
+    decode_tiles,
+    encode_tiles_mvt,
+    rows_to_tile,
+    tile_to_rows,
+)
+
+SF_TILE = "/root/reference/test/fixtures/tiles/sf_16_10465_25329.vector.pbf"
+
+
+@pytest.fixture(scope="module")
+def sf_rows():
+    with open(SF_TILE, "rb") as f:
+        return tile_to_rows(f.read())
+
+
+def test_decode_reference_census(sf_rows):
+    layers = {}
+    for r in sf_rows:
+        layers[r["layer"]] = layers.get(r["layer"], 0) + 1
+    assert len(layers) == 7
+    assert layers["poi_label"] == 13
+    assert layers["water"] == 3
+    assert layers["road"] == 20
+
+
+def test_decode_value_types(sf_rows):
+    poi = [r for r in sf_rows if r["layer"] == "poi_label"]
+    assert poi[0]["prop_types"]["maki"] == "string"
+    assert poi[0]["prop_types"]["localrank"] == "int"
+
+
+def test_roundtrip_row_equality(sf_rows):
+    def key(r):
+        return (
+            r["layer"],
+            r["feature_id"] or -1,
+            tuple(sorted(r["props"].items())),
+            r["geom_type"],
+            r["geometry"],
+        )
+
+    again = tile_to_rows(rows_to_tile(sf_rows))
+    assert sorted(map(key, again)) == sorted(map(key, sf_rows))
+
+
+def test_gzip_sniff_roundtrip(sf_rows):
+    blob = rows_to_tile(sf_rows, compress=True)
+    assert blob[:2] == b"\x1f\x8b"
+    assert len(tile_to_rows(blob)) == len(sf_rows)
+    # double-check plain decode of an uncompressed re-encode
+    assert len(tile_to_rows(rows_to_tile(sf_rows))) == len(sf_rows)
+
+
+def test_malformed_tiles_error():
+    with open("/root/reference/test/fixtures/tiles/invalid.mvt", "rb") as f:
+        with pytest.raises(MVTError):
+            tile_to_rows(f.read())
+    # truncated varint
+    with pytest.raises(MVTError):
+        tile_to_rows(b"\x1a\xff")
+    # layer without a name (field 15 version only)
+    with pytest.raises(MVTError, match="name"):
+        tile_to_rows(bytes([0x1A, 0x02, 0x78, 0x02]))
+
+
+def test_feature_without_id():
+    p = "/root/reference/test/fixtures/tiles/feature-single-point-no-id.mvt"
+    with open(p, "rb") as f:
+        rows = tile_to_rows(f.read())
+    assert len(rows) == 1 and rows[0]["feature_id"] is None
+    # id stays absent across a roundtrip
+    again = tile_to_rows(rows_to_tile(rows))
+    assert again[0]["feature_id"] is None
+
+
+def _shave_fixture(spark, sf_rows, style, zoom):
+    df = spark.createDataFrame(
+        [
+            (
+                r["layer"],
+                r["feature_id"],
+                r["geom_type"],
+                r["props"],
+            )
+            for r in sf_rows
+        ],
+        "layer string, feature_id bigint, geom_type string, props map<string,string>",
+    )
+    filters = Filters(style_to_filters(style))
+    return shave(df, filters, zoom=zoom)
+
+
+def test_shave_cafe_on_real_tile(spark, sf_rows):
+    # reference: cafe == -> poi_label, exactly 1 feature
+    out = _shave_fixture(
+        spark,
+        sf_rows,
+        {"layers": [{"source-layer": "poi_label", "filter": ["==", "maki", "cafe"]}]},
+        zoom=16,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["layer"] == "poi_label" and out[0]["props"]["maki"] == "cafe"
+
+
+def test_shave_negation_on_real_tile(spark, sf_rows):
+    # reference: != cafe -> 12 of 13 poi features survive
+    out = _shave_fixture(
+        spark,
+        sf_rows,
+        {"layers": [{"source-layer": "poi_label", "filter": ["!=", "maki", "cafe"]}]},
+        zoom=16,
+    ).collect()
+    assert len(out) == 12
+
+
+def test_shave_keep_all_water_on_real_tile(spark, sf_rows):
+    # reference: water style (no filter) keeps the whole layer
+    out = _shave_fixture(
+        spark,
+        sf_rows,
+        {"layers": [{"source-layer": "water"}]},
+        zoom=16,
+    ).collect()
+    assert len(out) == 3 and all(r["layer"] == "water" for r in out)
+
+
+def test_shave_two_layers_on_real_tile(spark, sf_rows):
+    # reference test 'multiple filters for different source-layers'
+    out = _shave_fixture(
+        spark,
+        sf_rows,
+        {
+            "layers": [
+                {"source-layer": "poi_label", "filter": ["==", "maki", "toilet"]},
+                {"source-layer": "road", "filter": ["!=", "class", "path"]},
+            ]
+        },
+        zoom=16,
+    ).collect()
+    by_layer = {}
+    for r in out:
+        by_layer[r["layer"]] = by_layer.get(r["layer"], 0) + 1
+    assert by_layer["poi_label"] == 2
+    assert by_layer["road"] == 10
+
+
+def test_spark_decode_encode_roundtrip(spark):
+    with open(SF_TILE, "rb") as f:
+        blob = f.read()
+    tiles = spark.createDataFrame(
+        [(16, 10465, 25329, bytearray(blob))], "z int, x bigint, y bigint, tile binary"
+    )
+    rows = decode_tiles(tiles)
+    assert rows.count() == 58  # 7-layer census total
+    re_enc = encode_tiles_mvt(rows)
+    assert re_enc.count() == 1
+    again = decode_tiles(re_enc)
+    a = {
+        (r["layer"], r["feature_id"], tuple(sorted(r["props"].items())))
+        for r in rows.collect()
+    }
+    b = {
+        (r["layer"], r["feature_id"], tuple(sorted(r["props"].items())))
+        for r in again.collect()
+    }
+    assert a == b

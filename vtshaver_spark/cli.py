@@ -73,6 +73,86 @@ def cmd_shave(args) -> int:
     return 0
 
 
+def cmd_shave_tile(args) -> int:
+    """Single-tile shave over a real .mvt/.pbf file — the reference
+    ``vtshave`` CLI contract (/root/reference/bin/vtshave.js:38-98:
+    gzip sniff, shave, before/after sizes raw + gzipped, optional
+    write)."""
+    import gzip as _gzip
+
+    from vtshaver_spark.errors import ShaveError, validate_compress
+    from vtshaver_spark.operators.shave import shave
+    from vtshaver_spark.session import build_session
+    from vtshaver_spark.sources.mvt import rows_to_tile, tile_to_rows
+    from vtshaver_spark.style.compile import style_to_filters
+    from vtshaver_spark.style.filters import Filters
+
+    with open(args.style) as f:
+        style = json.load(f)
+    with open(args.tile, "rb") as f:
+        buf = f.read()
+    try:
+        compress = validate_compress(
+            {"type": args.compress} if args.compress else None
+        )
+    except ShaveError as ex:
+        sys.stderr.write(f"Error: {ex}\n")
+        return 1
+    filters = Filters(style_to_filters(style))
+    rows = tile_to_rows(buf)
+    spark = build_session(app_name="vtshave-tile", master="local[2]", shuffle_partitions=2)
+    try:
+        df = spark.createDataFrame(
+            [
+                (
+                    r["layer"],
+                    r["layer_version"],
+                    r["layer_extent"],
+                    r["feature_id"],
+                    r["geom_type"],
+                    bytearray(r["geometry"]),
+                    r["props"],
+                    r["prop_types"],
+                )
+                for r in rows
+            ],
+            "layer string, layer_version int, layer_extent int, "
+            "feature_id bigint, geom_type string, geometry binary, "
+            "props map<string,string>, prop_types map<string,string>",
+        )
+        survivors = [
+            {
+                "layer": r["layer"],
+                "layer_version": r["layer_version"],
+                "layer_extent": r["layer_extent"],
+                "feature_id": r["feature_id"],
+                "geom_type": r["geom_type"],
+                "geometry": bytes(r["geometry"]) if r["geometry"] is not None else b"",
+                "props": r["props"],
+                "prop_types": r["prop_types"],
+            }
+            for r in shave(
+                df, filters, zoom=args.zoom, maxzoom=args.maxzoom
+            ).collect()
+        ]
+    finally:
+        spark.stop()
+    shaved = rows_to_tile(survivors, compress=compress)
+    report = {
+        "bytes_before": len(buf),
+        "bytes_after": len(shaved),
+        "gzip_bytes_before": len(_gzip.compress(buf, mtime=0)),
+        "gzip_bytes_after": len(_gzip.compress(shaved, mtime=0)),
+        "features_before": len(rows),
+        "features_after": len(survivors),
+    }
+    if args.out:
+        with open(args.out, "wb") as f:
+            f.write(shaved)
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="vtshaver-spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -90,6 +170,17 @@ def main(argv=None) -> int:
     p_shave.add_argument("--zoom", type=float, default=None)
     p_shave.add_argument("--maxzoom", type=float, default=None)
     p_shave.set_defaults(fn=cmd_shave)
+
+    p_tile = sub.add_parser(
+        "shave-tile", help="shave a single .mvt/.pbf file (vtshave parity)"
+    )
+    p_tile.add_argument("--tile", required=True)
+    p_tile.add_argument("--style", required=True)
+    p_tile.add_argument("--zoom", type=float, required=True)
+    p_tile.add_argument("--maxzoom", type=float, default=None)
+    p_tile.add_argument("--compress", choices=["none", "gzip"], default=None)
+    p_tile.add_argument("--out", default=None)
+    p_tile.set_defaults(fn=cmd_shave_tile)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -39,3 +39,33 @@ MSG_ZOOM_TYPE = "option 'zoom' must be a positive integer."
 MSG_MAXZOOM_TYPE = "option 'maxzoom' must be a positive integer."
 MSG_COMPRESS_TYPE = "compress option 'type' must be a string"
 MSG_COMPRESS_UNKNOWN = "compress type must equal 'none' or 'gzip'"
+MSG_COMPRESS_NOT_PROVIDED = (
+    "compress option 'type' not provided. Please provide "
+    "a compression type if using the compress option"
+)
+MSG_COMPRESS_LEVEL = "compress option 'level' must be an unsigned integer"
+
+
+def validate_compress(compress) -> bool:
+    """Validate the reference's ``{type: none|gzip, level?}`` compress
+    contract (src/shave.cpp:412-446) and return the effective boolean.
+    A bare bool is accepted for programmatic use; None means no
+    compression."""
+    if compress is None:
+        return False
+    if isinstance(compress, bool):
+        return compress
+    if not isinstance(compress, dict):
+        raise ShaveError(MSG_COMPRESS_TYPE)
+    if "type" not in compress:
+        raise ShaveError(MSG_COMPRESS_NOT_PROVIDED)
+    ctype = compress["type"]
+    if not isinstance(ctype, str):
+        raise ShaveError(MSG_COMPRESS_TYPE)
+    if ctype not in ("none", "gzip"):
+        raise ShaveError(MSG_COMPRESS_UNKNOWN)
+    if "level" in compress:
+        level = compress["level"]
+        if not isinstance(level, int) or isinstance(level, bool) or level < 0:
+            raise ShaveError(MSG_COMPRESS_LEVEL)
+    return ctype == "gzip"

@@ -149,7 +149,11 @@ def encode_tiles(
     salt_partials: Optional[int] = None,
 ) -> DataFrame:
     """features (z,x,y,layer,feature_id,geom_type,lon,lat,props) ->
-    one VTB1 blob row per tile."""
+    one VTB1 blob row per tile. ``compress`` accepts the validated
+    ``{type: none|gzip}`` contract (src/shave.cpp:412-446) or a bool."""
+    from vtshaver_spark.errors import validate_compress
+
+    compress = validate_compress(compress)
     cols = ["z", "x", "y", "layer", "feature_id", "geom_type", "lon", "lat", "props"]
     slim = df.select(*cols)
 

@@ -1,0 +1,426 @@
+"""Mapbox Vector Tile (MVT) protobuf codec — the reference's wire
+format, implemented from the public spec (vector_tile.proto v2.1).
+
+The reference's entire I/O surface is MVT blobs (gzip sniff + decode
+at /root/reference/src/shave.cpp:238-249, re-encode at :289-297); this
+module gives the row-model engine the same edges: ``tile_to_rows``
+(blob -> feature rows) and ``rows_to_tile`` (rows -> blob), plus the
+Spark operators ``decode_tiles`` / ``encode_tiles_mvt`` that run them
+as Arrow-batched kernels AFTER/BEFORE the relational plan (decode-last
+discipline, SURVEY §4).
+
+Geometry is carried verbatim as the raw packed-command bytes (the same
+copy-through vtzero's ``layer_builder``/``property_mapper`` perform at
+src/shave.cpp:178-179,205-221): shaving never reads coordinates, so
+the engine neither parses nor re-encodes them.
+
+Wire format (public spec):
+  Tile:    repeated Layer layers = 3
+  Layer:   version=15 (uint32, default 1), name=1 (string, required),
+           features=2, keys=3 (string), values=4, extent=5 (uint32,
+           default 4096)
+  Feature: id=1 (uint64), tags=2 (packed uint32 pairs), type=3
+           (enum 0..3), geometry=4 (packed uint32 commands)
+  Value:   one of string=1, float=2 (f32), double=3 (f64), int=4
+           (varint), uint=5 (varint), sint=6 (zigzag), bool=7
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from typing import Iterator, Optional
+
+GEOM_NAMES = {0: "Unknown", 1: "Point", 2: "LineString", 3: "Polygon"}
+GEOM_CODES = {v: k for k, v in GEOM_NAMES.items()}
+
+
+class MVTError(ValueError):
+    """Malformed-tile error (the decode-must-error contract exercised
+    by /root/reference/test/mvtfixtures.test.js:83-184)."""
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int, end: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= end:
+            raise MVTError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise MVTError("varint too long")
+
+
+def _write_varint(out: bytearray, val: int) -> None:
+    if val < 0:
+        val &= (1 << 64) - 1  # two's-complement uint64, proto semantics
+    while True:
+        b = val & 0x7F
+        val >>= 7
+        if val:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _fields(buf: bytes, pos: int, end: int) -> Iterator[tuple[int, int, object, int]]:
+    """Yield (field_num, wire_type, value, next_pos). Length-delimited
+    fields yield (start, end) slices; varints yield ints; fixed yield
+    raw bytes."""
+    while pos < end:
+        key, pos = _read_varint(buf, pos, end)
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            val, pos = _read_varint(buf, pos, end)
+            yield field, wt, val, pos
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos, end)
+            if pos + ln > end:
+                raise MVTError("truncated length-delimited field")
+            yield field, wt, (pos, pos + ln), pos + ln
+            pos += ln
+        elif wt == 5:
+            if pos + 4 > end:
+                raise MVTError("truncated fixed32")
+            yield field, wt, buf[pos : pos + 4], pos + 4
+            pos += 4
+        elif wt == 1:
+            if pos + 8 > end:
+                raise MVTError("truncated fixed64")
+            yield field, wt, buf[pos : pos + 8], pos + 8
+            pos += 8
+        else:
+            raise MVTError(f"unsupported wire type {wt}")
+
+
+def _tag(field: int, wt: int) -> int:
+    return (field << 3) | wt
+
+
+def _write_len_field(out: bytearray, field: int, payload: bytes) -> None:
+    _write_varint(out, _tag(field, 2))
+    _write_varint(out, len(payload))
+    out.extend(payload)
+
+
+# ---------------------------------------------------------------------------
+# Value messages <-> (string rendering, type tag)
+# ---------------------------------------------------------------------------
+
+def _decode_value(buf: bytes, start: int, end: int) -> tuple[str, str]:
+    """Decode a Value message to (string rendering, type tag). The
+    string rendering feeds the engine's map<string,string> property
+    model (GL coercion handles re-typing, mirroring
+    convert_property_value widening at src/shave.cpp:73-78)."""
+    for field, wt, val, _ in _fields(buf, start, end):
+        if field == 1 and wt == 2:
+            s, e = val
+            return buf[s:e].decode("utf-8"), "string"
+        if field == 2 and wt == 5:
+            return repr(struct.unpack("<f", val)[0]), "float"
+        if field == 3 and wt == 1:
+            return repr(struct.unpack("<d", val)[0]), "double"
+        if field == 4 and wt == 0:
+            # int64: re-interpret the uint64 varint as signed
+            iv = val - (1 << 64) if val >= 1 << 63 else val
+            return str(iv), "int"
+        if field == 5 and wt == 0:
+            return str(val), "uint"
+        if field == 6 and wt == 0:
+            return str((val >> 1) ^ -(val & 1)), "sint"
+        if field == 7 and wt == 0:
+            return ("true" if val else "false"), "bool"
+    raise MVTError("Value message with no recognized type field")
+
+
+def _encode_value(rendered: str, type_tag: str) -> bytes:
+    out = bytearray()
+    if type_tag == "string":
+        _write_len_field(out, 1, rendered.encode("utf-8"))
+    elif type_tag == "float":
+        _write_varint(out, _tag(2, 5))
+        out.extend(struct.pack("<f", float(rendered)))
+    elif type_tag == "double":
+        _write_varint(out, _tag(3, 1))
+        out.extend(struct.pack("<d", float(rendered)))
+    elif type_tag == "int":
+        _write_varint(out, _tag(4, 0))
+        _write_varint(out, int(rendered))
+    elif type_tag == "uint":
+        _write_varint(out, _tag(5, 0))
+        _write_varint(out, int(rendered))
+    elif type_tag == "sint":
+        v = int(rendered)
+        _write_varint(out, _tag(6, 0))
+        _write_varint(out, (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1)
+    elif type_tag == "bool":
+        _write_varint(out, _tag(7, 0))
+        _write_varint(out, 1 if rendered == "true" else 0)
+    else:
+        raise MVTError(f"unknown value type tag {type_tag!r}")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# tile decode
+# ---------------------------------------------------------------------------
+
+def is_gzipped(buf: bytes) -> bool:
+    """The reference's magic-byte sniff (bin/vtshave.js:60,
+    src/shave.cpp:242-247)."""
+    return len(buf) >= 2 and buf[0] == 0x1F and buf[1] == 0x8B
+
+
+def tile_to_rows(buf: bytes) -> list[dict]:
+    """Decode an MVT blob (gzip tolerated) into one dict per feature.
+
+    Keys: layer, layer_version, layer_extent, feature_id (None when
+    the optional id is absent), geom_type, geometry (raw packed
+    command bytes), props {key: rendered string}, prop_types
+    {key: value type tag}.
+    """
+    if is_gzipped(buf):
+        buf = gzip.decompress(buf)
+    rows: list[dict] = []
+    for field, wt, val, _ in _fields(buf, 0, len(buf)):
+        if field == 3 and wt == 2:
+            s, e = val
+            rows.extend(_decode_layer(buf, s, e))
+    return rows
+
+
+def _decode_layer(buf: bytes, start: int, end: int) -> list[dict]:
+    name: Optional[str] = None
+    version = 1
+    extent = 4096
+    keys: list[str] = []
+    values: list[tuple[str, str]] = []
+    feature_spans: list[tuple[int, int]] = []
+    for field, wt, val, _ in _fields(buf, start, end):
+        if field == 1 and wt == 2:
+            s, e = val
+            name = buf[s:e].decode("utf-8")
+        elif field == 15 and wt == 0:
+            version = val
+        elif field == 5 and wt == 0:
+            extent = val
+        elif field == 3 and wt == 2:
+            s, e = val
+            keys.append(buf[s:e].decode("utf-8"))
+        elif field == 4 and wt == 2:
+            s, e = val
+            values.append(_decode_value(buf, s, e))
+        elif field == 2 and wt == 2:
+            feature_spans.append(val)
+    if name is None:
+        raise MVTError("layer missing required name field")
+    rows = []
+    for s, e in feature_spans:
+        rows.append(_decode_feature(buf, s, e, name, version, extent, keys, values))
+    return rows
+
+
+def _decode_feature(
+    buf: bytes,
+    start: int,
+    end: int,
+    layer: str,
+    version: int,
+    extent: int,
+    keys: list[str],
+    values: list[tuple[str, str]],
+) -> dict:
+    fid: Optional[int] = None
+    gtype = 0
+    tags: list[int] = []
+    geometry = b""
+    for field, wt, val, _ in _fields(buf, start, end):
+        if field == 1 and wt == 0:
+            fid = val
+        elif field == 3 and wt == 0:
+            gtype = val
+        elif field == 2 and wt == 2:
+            s, e = val
+            pos = s
+            while pos < e:
+                v, pos = _read_varint(buf, pos, e)
+                tags.append(v)
+        elif field == 4 and wt == 2:
+            s, e = val
+            geometry = buf[s:e]
+    if len(tags) % 2 != 0:
+        raise MVTError("feature has odd number of tag entries")
+    props: dict = {}
+    prop_types: dict = {}
+    for i in range(0, len(tags), 2):
+        ki, vi = tags[i], tags[i + 1]
+        if ki >= len(keys):
+            raise MVTError(f"feature key index {ki} out of range")
+        if vi >= len(values):
+            raise MVTError(f"feature value index {vi} out of range")
+        rendered, ttag = values[vi]
+        props[keys[ki]] = rendered
+        prop_types[keys[ki]] = ttag
+    if gtype not in GEOM_NAMES:
+        gtype = 0
+    return {
+        "layer": layer,
+        "layer_version": version,
+        "layer_extent": extent,
+        "feature_id": fid,
+        "geom_type": GEOM_NAMES[gtype],
+        "geometry": geometry,
+        "props": props,
+        "prop_types": prop_types,
+    }
+
+
+# ---------------------------------------------------------------------------
+# tile encode
+# ---------------------------------------------------------------------------
+
+def rows_to_tile(rows: list[dict], compress: bool = False) -> bytes:
+    """Re-encode feature rows into an MVT blob.
+
+    Deterministic: layers ordered by name, features by (feature_id,
+    input order); key/value tables are rebuilt per layer in first-seen
+    order (the reference's property_mapper copies tables instead —
+    byte layouts differ, decoded row sets are equal, which is the
+    golden contract per SURVEY §1.2). Zero-feature layers are omitted
+    (src/shave.cpp:255-257).
+    """
+    by_layer: dict[str, list[dict]] = {}
+    for r in rows:
+        by_layer.setdefault(r["layer"], []).append(r)
+    out = bytearray()
+    for lname in sorted(by_layer):
+        lrows = by_layer[lname]
+        if not lrows:
+            continue
+        lrows = sorted(
+            enumerate(lrows),
+            key=lambda t: (t[1].get("feature_id") is None, t[1].get("feature_id") or 0, t[0]),
+        )
+        key_idx: dict[str, int] = {}
+        val_idx: dict[tuple[str, str], int] = {}
+        feats = bytearray()
+        for _, r in lrows:
+            tags: list[int] = []
+            ptypes = r.get("prop_types") or {}
+            for k, v in (r.get("props") or {}).items():
+                if k not in key_idx:
+                    key_idx[k] = len(key_idx)
+                tv = (str(v), ptypes.get(k, "string"))
+                if tv not in val_idx:
+                    val_idx[tv] = len(val_idx)
+                tags.append(key_idx[k])
+                tags.append(val_idx[tv])
+            f = bytearray()
+            if r.get("feature_id") is not None:
+                _write_varint(f, _tag(1, 0))
+                _write_varint(f, int(r["feature_id"]))
+            if tags:
+                packed = bytearray()
+                for t in tags:
+                    _write_varint(packed, t)
+                _write_len_field(f, 2, bytes(packed))
+            _write_varint(f, _tag(3, 0))
+            _write_varint(f, GEOM_CODES.get(r.get("geom_type", "Unknown"), 0))
+            geom = r.get("geometry") or b""
+            if geom:
+                _write_len_field(f, 4, bytes(geom))
+            _write_len_field(feats, 2, bytes(f))
+        layer = bytearray()
+        _write_varint(layer, _tag(15, 0))
+        _write_varint(layer, int(lrows[0][1].get("layer_version") or 2))
+        _write_len_field(layer, 1, lname.encode("utf-8"))
+        layer.extend(feats)
+        for k in key_idx:
+            _write_len_field(layer, 3, k.encode("utf-8"))
+        for (rendered, ttag) in val_idx:
+            _write_len_field(layer, 4, _encode_value(rendered, ttag))
+        _write_varint(layer, _tag(5, 0))
+        _write_varint(layer, int(lrows[0][1].get("layer_extent") or 4096))
+        _write_len_field(out, 3, bytes(layer))
+    blob = bytes(out)
+    if compress:
+        blob = gzip.compress(blob, mtime=0)
+    return blob
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+MVT_ROW_SCHEMA = (
+    "layer string, layer_version int, layer_extent int, feature_id bigint, "
+    "geom_type string, geometry binary, props map<string,string>, "
+    "prop_types map<string,string>"
+)
+
+
+def decode_tiles(df, tile_col: str = "tile", carry_cols: tuple = ("z", "x", "y")):
+    """Explode a DataFrame of MVT blobs into feature rows
+    (mapInPandas; gzip sniffed per blob). ``carry_cols`` pass through
+    to every emitted feature row."""
+    import pandas as pd
+
+    carry = [c for c in carry_cols if c in df.columns]
+    carry_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in carry
+    )
+    schema = (carry_schema + ", " if carry_schema else "") + MVT_ROW_SCHEMA
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                blob = row[tile_col]
+                for r in tile_to_rows(bytes(blob)):
+                    rec = {c: row[c] for c in carry}
+                    rec.update(r)
+                    out.append(rec)
+            if out:
+                yield pd.DataFrame(out)
+
+    return df.select(*carry, tile_col).mapInPandas(kernel, schema=schema)
+
+
+def encode_tiles_mvt(df, compress=False, tile_cols: tuple = ("z", "x", "y")):
+    """Group feature rows into MVT blobs per tile
+    (groupBy(z,x,y).applyInPandas). ``compress`` takes the reference's
+    validated ``{type: none|gzip}`` contract or a bare bool. Pair with
+    ``vtshaver_spark.plans.partitioning.repartition_for_tiles`` before
+    wide writes at scale."""
+    import pandas as pd
+
+    from vtshaver_spark.errors import validate_compress
+
+    compress = validate_compress(compress)
+
+    tile_cols = list(tile_cols)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in tile_cols
+    )
+    schema = key_schema + ", tile binary"
+
+    def enc(key, pdf):
+        rows = pdf.to_dict("records")
+        blob = rows_to_tile(rows, compress=compress)
+        rec = dict(zip(tile_cols, key))
+        rec["tile"] = blob
+        return pd.DataFrame([rec])
+
+    return df.groupBy(*tile_cols).applyInPandas(enc, schema=schema)
