@@ -64,15 +64,21 @@ EXPRESSION_ROAD_STYLE = {
 
 
 def _replicate(df: DataFrame, n: int, partitions: int) -> DataFrame:
-    """Explode-replicate and REPARTITION: small parquet inputs scan as
-    one partition, so without the repartition every downstream map
-    stage runs on a single core — the exact pathology this engine
-    avoids at scale via spark.sql.files.maxPartitionBytes."""
+    """REPARTITION the small base first, then explode-replicate.
+
+    Small parquet inputs scan as one partition, so without a
+    repartition every downstream map stage runs on one core. Order
+    matters: repartitioning BEFORE the explode shuffles only the tiny
+    base (150k rows), and the xN expansion happens in place per
+    partition — repartitioning after would shuffle the full replicated
+    corpus on every timed query (measured as the dominant cost of the
+    r1 relational suite and the cause of its 8->32 dedup regression)."""
+    df = df.repartition(partitions)
     if n > 1:
         df = df.withColumn(
             "_rep", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
         ).drop("_rep")
-    return df.repartition(partitions)
+    return df
 
 
 def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subset: str = "all") -> dict:
@@ -101,7 +107,7 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
     # work across cores; replicate with DISTINCT ids so dedup joins see
     # realistic (not degenerate) duplicate structure
     text_factor = min(64, max(1, replicate // 4))
-    documents = spark.table("documents")
+    documents = spark.table("documents").repartition(n_part)
     if text_factor > 1:
         documents = (
             documents.withColumn(
@@ -113,9 +119,8 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
             )
             .drop("_rep")
         )
-    documents = documents.repartition(n_part)
     emb_base = spark.table("embeddings")
-    embeddings = emb_base
+    embeddings = emb_base.repartition(n_part)
     if text_factor > 1:
         embeddings = (
             embeddings.withColumn(
@@ -124,7 +129,6 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
             .withColumn("vec_id", F.col("vec_id") * 100 + F.col("_rep"))
             .drop("_rep")
         )
-    embeddings = embeddings.repartition(n_part)
 
     # materialize the replicated corpus once (outside the timed section)
     feature_rows = features.count()

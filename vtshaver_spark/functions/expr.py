@@ -296,7 +296,8 @@ _NUMBER_OPS = frozenset(
 _STRING_OPS = frozenset(
     {
         "geometry-type", "string", "to-string", "concat", "downcase",
-        "upcase", "number-format", "slice",
+        "upcase", "number-format", "slice", "format", "image", "rgb",
+        "rgba", "to-color",
     }
 )
 _BOOLEAN_OPS = frozenset(
@@ -511,23 +512,151 @@ class _Expr:
         return result.otherwise(last_col), out_tag
 
     def _op_interpolate(self, e: list):
-        # Linear interpolation over numeric stops; exponential/cubic bases
-        # are rendering refinements — for predicate purposes linear is the
-        # semantics the reference's filters exercise.
+        """["interpolate", type, input, stop, out, ...].
+
+        linear and ["exponential", base] follow the GL style-spec
+        interpolation-factor formulas exactly; cubic-bezier eases the
+        same endpoints, so for predicate purposes (comparisons against
+        stop outputs) it is evaluated as linear — a documented
+        approximation, never an error (reference accepts any
+        mbgl-valid filter, src/filters.cpp:108-121).
+        """
         if len(e) < 5:
             raise FilterError("'interpolate' expects type, input, stops")
+        itype = e[1]
+        if not isinstance(itype, list) or not itype or itype[0] not in (
+            "linear", "exponential", "cubic-bezier"
+        ):
+            raise FilterError(
+                "'interpolate' type must be linear/exponential/cubic-bezier"
+            )
+        base_b = float(itype[1]) if itype[0] == "exponential" and len(itype) > 1 else 1.0
         input_col = self.as_number(e[2])
         stops = e[3:]
         xs = [float(stops[i]) for i in range(0, len(stops), 2)]
         ys = [self.as_number(stops[i + 1]) for i in range(0, len(stops), 2)]
-        result = ys[0]
         acc = F.when(input_col <= F.lit(xs[0]), ys[0])
         for i in range(len(xs) - 1):
             x0, x1 = xs[i], xs[i + 1]
-            frac = (input_col - F.lit(x0)) / F.lit(x1 - x0)
+            if base_b != 1.0:
+                # GL exponential interpolation factor:
+                # (b^(x-x0) - 1) / (b^(x1-x0) - 1)
+                frac = (F.pow(F.lit(base_b), input_col - F.lit(x0)) - F.lit(1.0)) / F.lit(
+                    base_b ** (x1 - x0) - 1.0
+                )
+            else:
+                frac = (input_col - F.lit(x0)) / F.lit(x1 - x0)
             seg = ys[i] + frac * (ys[i + 1] - ys[i])
             acc = acc.when(input_col < F.lit(x1), seg)
         return acc.otherwise(ys[-1]), "number"
+
+    def _interpolate_color_space(self, e: list):
+        """interpolate-hcl / interpolate-lab: color-space interpolation
+        between (typically color) stop outputs. Numeric outputs
+        evaluate as linear (identical in any space); color-string
+        outputs degrade to the lower stop's value (nearest-stop) —
+        documented approximation so mbgl-valid styles never hard-error
+        here."""
+        if len(e) < 4:
+            raise FilterError("'interpolate' expects input and stops")
+        stops = e[2:]
+        out_tag = self.infer(stops[1]) if len(stops) > 1 else "value"
+        if out_tag == "number":
+            return self._op_interpolate(["interpolate", ["linear"], *e[1:]])
+        input_col = self.as_number(e[1])
+        xs = [float(stops[i]) for i in range(0, len(stops), 2)]
+        ys = [self.compile(stops[i + 1])[0] for i in range(0, len(stops), 2)]
+        acc = F.when(input_col <= F.lit(xs[0]), ys[0])
+        for i in range(len(xs) - 1):
+            acc = acc.when(input_col < F.lit(xs[i + 1]), ys[i])
+        return acc.otherwise(ys[-1]), out_tag
+
+    def _op_interpolate_hcl(self, e: list):
+        return self._interpolate_color_space(e)
+
+    def _op_interpolate_lab(self, e: list):
+        return self._interpolate_color_space(e)
+
+    # -- formatting / rich types. mbgl passes any valid expression
+    #    through the reference untouched (src/filters.cpp:108-121);
+    #    these are their filter-context reductions. ----------------------
+    def _op_format(self, e: list):
+        """["format", input, opts?, input, opts?, ...] -> concatenated
+        text (style dicts only affect rendering)."""
+        parts = [self.as_string(sub) for sub in e[1:] if not isinstance(sub, dict)]
+        if not parts:
+            return F.lit(""), "string"
+        return F.concat(*parts), "string"
+
+    def _op_image(self, e: list):
+        # ResolvedImage reduces to its name for equality/truthiness
+        if len(e) < 2:
+            raise FilterError("'image' expects a name argument")
+        return self.as_string(e[1]), "string"
+
+    def _op_collator(self, e: list):
+        # comparison operators accept-and-ignore a collator operand
+        # (case/locale-sensitive compare is a rendering nicety)
+        return F.lit(True), "collator"
+
+    def _color_string(self, comps: list) -> Column:
+        rendered = [_number_to_string(c) for c in comps]
+        return F.concat(
+            F.lit("rgba("),
+            rendered[0], F.lit(","), rendered[1], F.lit(","), rendered[2],
+            F.lit(","), rendered[3], F.lit(")"),
+        )
+
+    def _op_rgb(self, e: list):
+        if len(e) != 4:
+            raise FilterError("'rgb' expects 3 arguments")
+        comps = [self.as_number(sub) for sub in e[1:]] + [F.lit(1.0)]
+        return self._color_string(comps), "string"
+
+    def _op_rgba(self, e: list):
+        if len(e) != 5:
+            raise FilterError("'rgba' expects 4 arguments")
+        return self._color_string([self.as_number(sub) for sub in e[1:]]), "string"
+
+    def _op_to_color(self, e: list):
+        # colors stay in their string form; first convertible argument
+        cols = [self.as_string(sub) for sub in e[1:]]
+        if not cols:
+            raise FilterError("'to-color' expects at least one argument")
+        return F.coalesce(*cols), "string"
+
+    def _op_to_rgba(self, e: list):
+        # parse the canonical "rgba(r,g,b,a)" rendering into numbers
+        s = self.as_string(e[1])
+        inner = F.regexp_extract(s, r"rgba?\(([^)]*)\)", 1)
+        return (
+            F.transform(F.split(inner, ","), lambda x: x.cast("double")),
+            "array",
+        )
+
+    def _op_array(self, e: list):
+        # type assertion: ["array", v] / ["array", type, v] /
+        # ["array", type, N, v] — value passes through
+        if len(e) < 2:
+            raise FilterError("'array' expects a value")
+        col, _ = self.compile(e[-1])
+        return col, "array"
+
+    def _op_object(self, e: list):
+        if len(e) < 2:
+            raise FilterError("'object' expects a value")
+        return self.compile(e[1])
+
+    # rendering-context inputs with no tile-data meaning: evaluate null
+    # (GL: evaluation error -> filter false), never a compile error
+    def _op_accumulated(self, e: list):
+        return F.lit(None).cast("double"), "number"
+
+    def _op_heatmap_density(self, e: list):
+        return F.lit(None).cast("double"), "number"
+
+    def _op_line_progress(self, e: list):
+        return F.lit(None).cast("double"), "number"
 
     def _op_coalesce(self, e: list):
         cols = [self.compile(sub)[0] for sub in e[1:]]
@@ -825,28 +954,32 @@ class _Expr:
             geom = geom.get("geometry", {})
         gtype = geom.get("type")
         if gtype == "Polygon":
-            rings = [geom["coordinates"][0]]
+            polys = [geom["coordinates"]]
         elif gtype == "MultiPolygon":
-            rings = [poly[0] for poly in geom["coordinates"]]
+            polys = list(geom["coordinates"])
         else:
             raise FilterError("'within' supports Polygon/MultiPolygon only")
         lon, lat = F.col("lon"), F.col("lat")
-        any_ring = F.lit(False)
-        for ring in rings:
+        any_poly = F.lit(False)
+        for rings in polys:
+            # even-odd over EVERY ring (exterior + holes): crossing an
+            # interior ring flips the parity back out, so points inside
+            # holes are excluded (GeoJSON polygon semantics)
             inside = F.lit(False)
-            pts = list(ring)
-            if pts[0] != pts[-1]:
-                pts.append(pts[0])
-            for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
-                if ay == by:
-                    continue  # horizontal edge never crosses the ray
-                crosses = ((F.lit(ay) > lat) != (F.lit(by) > lat)) & (
-                    lon
-                    < (lat - F.lit(ay)) * F.lit((bx - ax) / (by - ay)) + F.lit(ax)
-                )
-                inside = _xor(inside, crosses)
-            any_ring = any_ring | inside
-        return lon.isNotNull() & lat.isNotNull() & any_ring, "boolean"
+            for ring in rings:
+                pts = list(ring)
+                if pts[0] != pts[-1]:
+                    pts.append(pts[0])
+                for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
+                    if ay == by:
+                        continue  # horizontal edge never crosses the ray
+                    crosses = ((F.lit(ay) > lat) != (F.lit(by) > lat)) & (
+                        lon
+                        < (lat - F.lit(ay)) * F.lit((bx - ax) / (by - ay)) + F.lit(ax)
+                    )
+                    inside = _xor(inside, crosses)
+            any_poly = any_poly | inside
+        return lon.isNotNull() & lat.isNotNull() & any_poly, "boolean"
 
     def _op_distance(self, e: list):
         """["distance", geojson Point] — meters from the feature's point
@@ -901,10 +1034,24 @@ class _ExprValidate(_Expr):
         if _py_name(op) not in _VALID_OPS:
             raise FilterError(f"expression operator '{op}' is not supported")
         _validate_arity(op, e)
-        for sub in e[1:]:
-            if isinstance(sub, list) and sub and isinstance(sub[0], str) and (
-                _py_name(sub[0]) in _VALID_OPS
-            ):
+        # Recurse by argument POSITION, not by op-name membership: a
+        # nested list is an expression unless this operator treats that
+        # position as a literal (reference rejects unknown nested ops at
+        # Filters construction; ADVICE r1). Literal positions:
+        #   literal -> payload; match -> label positions (2, 4, ...,
+        #   excluding outputs and the fallback); let -> name strings
+        #   (not lists anyway); within/distance -> GeoJSON dicts.
+        if op == "literal":
+            return None, self.infer(e)
+        skip = set()
+        if op == "match":
+            skip = set(range(2, len(e) - 1, 2))
+        elif op == "interpolate":
+            skip = {1}  # the ["linear"]/["exponential", b] type tag
+        for i, sub in enumerate(e[1:], start=1):
+            if i in skip or isinstance(sub, dict):
+                continue
+            if isinstance(sub, list):
                 self.compile(sub)
         return None, self.infer(e)
 

@@ -220,18 +220,40 @@ def caption_landmark_join(
     landmarks: DataFrame,
     caption_col: str = "caption",
     name_col: str = "name",
+    max_name_words: int | None = None,
 ) -> DataFrame:
     """Caption-to-landmark entity join: image rows whose caption
-    mentions a landmark name (broadcast contains-join; the landmark
-    table is dimension-sized)."""
+    mentions a landmark name.
+
+    Scale-safe plan: explode each caption into its word windows of
+    length 1..max_name_words (bounded fan-out, ~n_tokens rows per
+    image) and BroadcastHashJoin them against the landmark names — an
+    exact-match probe per window. The naive crossJoin+contains BNL is
+    O(rows x landmarks) substring scans and dies as the entity table
+    grows; this plan is O(rows x caption_words) hash probes,
+    independent of landmark count.
+    """
     lm = landmarks.select(F.col("landmark_id"), F.col(name_col).alias("_lm_name"))
-    return (
-        images.crossJoin(F.broadcast(lm))
-        .filter(
-            F.contains(
-                F.concat(F.col(caption_col), F.lit(" ")),
-                F.concat(F.col("_lm_name"), F.lit(" ")),
-            )
+    if max_name_words is None:
+        max_name_words = (
+            landmarks.select(
+                F.max(F.size(F.split(F.col(name_col), " ")))
+            ).first()[0]
+            or 1
         )
-        .drop("_lm_name")
+    toks = F.split(F.col(caption_col), " ")
+    windows = []
+    for n in range(1, max_name_words + 1):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        windows.append(
+            F.when(
+                F.size(toks) >= n,
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    phrases = F.array_distinct(F.flatten(F.array(*windows)))
+    cand = images.withColumn("_phrase", F.explode(phrases))
+    return (
+        cand.join(F.broadcast(lm), cand["_phrase"] == lm["_lm_name"])
+        .drop("_phrase", "_lm_name")
     )

@@ -51,8 +51,7 @@ def _layer_zoom_pred(
     return in_range
 
 
-def shave(
-    df: DataFrame,
+def compile_shave_columns(
     filters: Filters,
     zoom: Union[float, Column, None] = None,
     maxzoom: Optional[float] = None,
@@ -60,13 +59,12 @@ def shave(
     props_col: str = "props",
     geom_type_col: str = "geom_type",
     feature_id_col: str = "feature_id",
-) -> DataFrame:
-    """Shave a features DataFrame with a compiled style.
+) -> tuple:
+    """Compile a style into (keep predicate, projected-props Column).
 
-    ``zoom`` may be a number (whole-job binding, reference parity), a
-    Column (per-row, e.g. ``F.col("z")`` to shave every zoom level in
-    one pass — the scale path), or None (defaults to ``F.col("z")``).
-    ``maxzoom`` is the *tileset* maxzoom for the overzoom rule.
+    Shared by ``shave`` (filter + withColumn) and
+    ``shave_with_metrics`` (ONE conditional aggregation over both) —
+    the compile happens once, the data is scanned once either way.
     """
     if not isinstance(filters, Filters):
         raise ShaveError(
@@ -114,7 +112,6 @@ def shave(
         keep = branch if keep is None else (keep | branch)
     if keep is None:
         keep = F.lit(False)  # empty style shaves everything
-    shaved = df.filter(keep)
 
     # CASE-of-layers property projection (O17). Keep-all layers fall
     # through to the identity branch.
@@ -132,9 +129,31 @@ def shave(
             pruned = F.map_filter(props, lambda _k, _v: F.lit(False))
         cond = layer == F.lit(lf.layer)
         proj = F.when(cond, pruned) if proj is None else proj.when(cond, pruned)
-    if proj is not None:
-        shaved = shaved.withColumn(props_col, proj.otherwise(props))
-    return shaved
+    projected = proj.otherwise(props) if proj is not None else props
+    return keep, projected
+
+
+def shave(
+    df: DataFrame,
+    filters: Filters,
+    zoom: Union[float, Column, None] = None,
+    maxzoom: Optional[float] = None,
+    layer_col: str = "layer",
+    props_col: str = "props",
+    geom_type_col: str = "geom_type",
+    feature_id_col: str = "feature_id",
+) -> DataFrame:
+    """Shave a features DataFrame with a compiled style.
+
+    ``zoom`` may be a number (whole-job binding, reference parity), a
+    Column (per-row, e.g. ``F.col("z")`` to shave every zoom level in
+    one pass — the scale path), or None (defaults to ``F.col("z")``).
+    ``maxzoom`` is the *tileset* maxzoom for the overzoom rule.
+    """
+    keep, projected = compile_shave_columns(
+        filters, zoom, maxzoom, layer_col, props_col, geom_type_col, feature_id_col
+    )
+    return df.filter(keep).withColumn(props_col, projected)
 
 
 def shave_with_metrics(
@@ -147,11 +166,14 @@ def shave_with_metrics(
     """Shave plus a per-tile metrics DataFrame (the vtshave CLI
     contract, /root/reference/bin/vtshave.js:75-93: before/after sizes).
 
-    Single-pass design: features_before/features_after come from one
-    conditional aggregation (no second scan, no join).
+    Single-pass metrics: before/after feature counts and property
+    bytes come from ONE conditional aggregation over the input — no
+    second scan, no join (at 10^12 rows a re-scan is real money).
     """
-    shaved = shave(df, filters, zoom=zoom, maxzoom=maxzoom, **kwargs)
+    keep, projected = compile_shave_columns(filters, zoom, maxzoom, **kwargs)
     props_col = kwargs.get("props_col", "props")
+    shaved = df.filter(keep).withColumn(props_col, projected)
+
     # Approximate encoded size of a row: sum of key/value lengths of its
     # retained properties (a stable stand-in for MVT bytes in row-model).
     def prop_bytes(col: Column) -> Column:
@@ -164,17 +186,16 @@ def shave_with_metrics(
             F.lit(0),
         )
 
-    before = df.groupBy("z", "x", "y").agg(
-        F.count(F.lit(1)).alias("features_before"),
-        F.sum(prop_bytes(F.col(props_col))).alias("prop_bytes_before"),
-    )
-    after = shaved.groupBy("z", "x", "y").agg(
-        F.count(F.lit(1)).alias("features_after"),
-        F.sum(prop_bytes(F.col(props_col))).alias("prop_bytes_after"),
-    )
     metrics = (
-        before.join(after, ["z", "x", "y"], "left")
-        .fillna(0, subset=["features_after", "prop_bytes_after"])
+        df.groupBy("z", "x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("features_before"),
+            F.sum(F.when(keep, 1).otherwise(0)).alias("features_after"),
+            F.sum(prop_bytes(F.col(props_col))).alias("prop_bytes_before"),
+            F.sum(
+                F.when(keep, prop_bytes(projected)).otherwise(0)
+            ).alias("prop_bytes_after"),
+        )
         .withColumn(
             "shave_ratio",
             F.when(
