@@ -182,3 +182,118 @@ def test_spark_decode_encode_roundtrip(spark):
         for r in again.collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# adversarial / value-type coverage (mvt-fixtures parity, synthesized:
+# the reference exercises @mapbox/mvt-fixtures 038/021 and malformed
+# index/tag cases in test/mvtfixtures.test.js:16-184)
+# ---------------------------------------------------------------------------
+
+from vtshaver_spark.sources.mvt import (
+    _encode_value,
+    _tag,
+    _write_len_field,
+    _write_varint,
+)
+
+
+def _build_layer(name, keys, values, features, version=2, extent=4096):
+    layer = bytearray()
+    _write_varint(layer, _tag(15, 0)); _write_varint(layer, version)
+    _write_len_field(layer, 1, name.encode())
+    for f in features:
+        _write_len_field(layer, 2, f)
+    for k in keys:
+        _write_len_field(layer, 3, k.encode())
+    for v in values:
+        _write_len_field(layer, 4, v)
+    _write_varint(layer, _tag(5, 0)); _write_varint(layer, extent)
+    tile = bytearray()
+    _write_len_field(tile, 3, bytes(layer))
+    return bytes(tile)
+
+
+def _build_feature(tags, geom_code=1, fid=None):
+    f = bytearray()
+    if fid is not None:
+        _write_varint(f, _tag(1, 0)); _write_varint(f, fid)
+    packed = bytearray()
+    for t in tags:
+        _write_varint(packed, t)
+    if tags:
+        _write_len_field(f, 2, bytes(packed))
+    _write_varint(f, _tag(3, 0)); _write_varint(f, geom_code)
+    _write_len_field(f, 4, bytes([9, 0, 0]))  # MoveTo(0,0)
+    return bytes(f)
+
+
+def test_all_value_types_decode_and_shave(spark):
+    # fixture-038 analog: one feature carrying every MVT value type
+    keys = ["string_value", "float_value", "double_value", "int_value",
+            "uint_value", "sint_value", "bool_value"]
+    values = [
+        _encode_value("ello", "string"),
+        _encode_value("3.0999999046325684", "float"),
+        _encode_value("1.23", "double"),
+        _encode_value("-6", "int"),
+        _encode_value("87948", "uint"),
+        _encode_value("-89", "sint"),
+        _encode_value("true", "bool"),
+    ]
+    feat = _build_feature([i for pair in ((k, k) for k in range(7)) for i in pair], fid=1)
+    tile = _build_layer("hello", keys, values, [feat])
+    rows = tile_to_rows(tile)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["props"]["string_value"] == "ello"
+    assert r["props"]["int_value"] == "-6"
+    assert r["props"]["sint_value"] == "-89"
+    assert r["props"]["bool_value"] == "true"
+    assert r["prop_types"]["float_value"] == "float"
+    # value-typed roundtrip
+    again = tile_to_rows(rows_to_tile(rows))[0]
+    assert again["props"] == r["props"] and again["prop_types"] == r["prop_types"]
+    # reference pin: == filter keeps the layer's matching feature
+    out = _shave_fixture(
+        spark, rows,
+        {"layers": [{"source-layer": "hello", "filter": ["==", "string_value", "ello"]}]},
+        zoom=0,
+    ).collect()
+    assert len(out) == 1
+
+
+def test_bad_key_index_errors():
+    feat = _build_feature([5, 0])  # key index 5, only 1 key
+    tile = _build_layer("l", ["k"], [_encode_value("v", "string")], [feat])
+    with pytest.raises(MVTError, match="key index"):
+        tile_to_rows(tile)
+
+
+def test_bad_value_index_errors():
+    feat = _build_feature([0, 9])
+    tile = _build_layer("l", ["k"], [_encode_value("v", "string")], [feat])
+    with pytest.raises(MVTError, match="value index"):
+        tile_to_rows(tile)
+
+
+def test_odd_tag_count_errors():
+    feat = _build_feature([0])
+    tile = _build_layer("l", ["k"], [_encode_value("v", "string")], [feat])
+    with pytest.raises(MVTError, match="odd number"):
+        tile_to_rows(feat and tile)
+
+
+def test_unknown_geometry_tolerated_then_dropped_by_shave(spark):
+    # geometry enum 7 is outside the spec: decoded as Unknown (the
+    # reference's filtered path drops it, src/shave.cpp:196-200)
+    feat = _build_feature([0, 0], geom_code=7, fid=9)
+    tile = _build_layer("l", ["k"], [_encode_value("v", "string")], [feat])
+    rows = tile_to_rows(tile)
+    assert rows[0]["geom_type"] == "Unknown"
+    out = _shave_fixture(
+        spark, rows,
+        {"layers": [{"source-layer": "l", "filter": ["==", "k", "v"]}]},
+        zoom=0,
+    ).collect()
+    assert out == []

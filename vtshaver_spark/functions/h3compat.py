@@ -44,14 +44,35 @@ def h3_cell_udf(res: int = 9):
 
         @pandas_udf(T.LongType())
         def _cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            la = lat.to_numpy(dtype=np.float64)
+            lo = lon.to_numpy(dtype=np.float64)
+            # best-available vectorization first (G1: no per-row Python
+            # when the library offers a batch path):
+            #  1. h3-py 3.x unstable.vect.geo_to_h3 — true C-loop batch
+            #  2. h3-py 4.x api.numpy_int — int output, no hex parsing
+            #  3. scalar string API as the last resort
+            try:
+                from h3.unstable import vect  # type: ignore
+
+                return pd.Series(vect.geo_to_h3(la, lo, res).astype(np.int64))
+            except Exception:
+                pass
+            int_api = getattr(getattr(_h3, "api", None), "numpy_int", None)
+            if int_api is not None:
+                f = int_api.latlng_to_cell
+                return pd.Series(
+                    np.fromiter(
+                        (f(a, o, res) for a, o in zip(la, lo)),
+                        dtype=np.int64,
+                        count=len(la),
+                    )
+                )
             return pd.Series(
-                [
-                    np.int64(int(_h3.latlng_to_cell(la, lo, res), 16))
-                    if la is not None
-                    else None
-                    for la, lo in zip(lat, lon)
-                ],
-                dtype="int64",
+                np.fromiter(
+                    (int(_h3.latlng_to_cell(a, o, res), 16) for a, o in zip(la, lo)),
+                    dtype=np.int64,
+                    count=len(la),
+                )
             )
 
         return _cell

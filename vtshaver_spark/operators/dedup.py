@@ -140,12 +140,20 @@ def minhash_lsh_candidates(
     rows/bands rows shuffle per doc (band keys), self-join per bucket,
     pairs deduped with id ordering. Output: (doc_a, doc_b, n_shared_bands).
 
-    Buckets are pre-filtered to size in [2, max_bucket_size]: the >= 2
-    bound drops the (dominant) singleton buckets before the self-join,
-    and the cap bounds the quadratic blow-up of degenerate hot buckets
-    (boilerplate-heavy corpora collapse into one bucket whose
-    size^2/2 pairs would dwarf the rest of the job). A capped bucket
-    is all near-identical content — route it to exact_dedup instead of
+    Physical shape (one signature computation, no self-join): banded
+    rows shuffle ONCE into a grouped ``collect_list`` per (band,
+    bucket); each bucket's sorted doc list expands to its i<j pairs
+    inline (array lambdas over bucket contents only — never the
+    corpus). A self-join formulation re-derives the whole signature
+    pipeline once per join side (measured 2-3x the suite cost at
+    sf0.1 x64).
+
+    Buckets are filtered to size in [2, max_bucket_size]: >= 2 drops
+    the (dominant) singleton buckets before pair expansion, and the
+    cap bounds the quadratic blow-up of degenerate hot buckets
+    (boilerplate-heavy corpora collapse into one bucket whose size^2/2
+    pairs would dwarf the rest of the job). A capped bucket is
+    near-identical content — route it to exact_dedup instead of
     pairwise comparison.
     """
     rows_per_band = num_hashes // bands
@@ -173,24 +181,28 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-    keep = sizes.filter(F.col("_n") >= 2)
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc")).alias("_docs"))
+        .filter(F.size("_docs") >= 2)
+    )
     if max_bucket_size is not None:
-        keep = keep.filter(F.col("_n") <= max_bucket_size)
-    banded = banded.join(keep.select("band", "bucket"), ["band", "bucket"])
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc") < F.col("r.doc")),
+        buckets = buckets.filter(F.size("_docs") <= max_bucket_size)
+    docs = F.col("_docs")
+    pair_structs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + F.lit(2), F.greatest(F.size(docs) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .groupBy(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    return pairs
 
 
 def ngram_jaccard(
@@ -312,22 +324,42 @@ def simhash_near_dups(
             )
         ).alias("bc"),
     ).select("doc", "simhash", "bc.blk", "bc.chunk")
-    l, r = chunks.alias("l"), chunks.alias("r")
+    # one grouped collect per (block, chunk) + inline i<j pair
+    # expansion — the simhash aggregation runs once (a self-join would
+    # re-derive it per side), same shape as minhash_lsh_candidates
+    buckets = (
+        chunks.groupBy("blk", "chunk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc"), F.col("simhash")))
+            ).alias("_ds")
+        )
+        .filter(F.size("_ds") >= 2)
+    )
+    ds = F.col("_ds")
+    pair_structs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.greatest(F.size(ds) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["doc"].alias("doc_a"),
+                    y["doc"].alias("doc_b"),
+                    x["simhash"].alias("sim_a"),
+                    y["simhash"].alias("sim_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        l.join(
-            r,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(
-            F.col("l.doc").alias("doc_a"),
-            F.col("r.doc").alias("doc_b"),
-            F.col("l.simhash").alias("sim_a"),
-            F.col("r.simhash").alias("sim_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
         .distinct()
     )
-    return cand.withColumn(
-        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .drop("sim_a", "sim_b")
+    )
