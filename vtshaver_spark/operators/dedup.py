@@ -188,19 +188,15 @@ def minhash_lsh_candidates(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("_docs") <= max_bucket_size)
-    docs = F.col("_docs")
-    pair_structs = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + F.lit(2), F.greatest(F.size(docs) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    # i<j expansion as two JVM Generate operators + codegen'd filter
+    # (higher-order transform lambdas evaluate interpreted — measured
+    # ~2x slower on 3.3M pairs; the size<=cap bound keeps the
+    # size^2-per-bucket intermediate harmless)
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        buckets.select(F.explode("_docs").alias("doc_a"), "_docs")
+        .select("doc_a", F.explode("_docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
@@ -336,24 +332,16 @@ def simhash_near_dups(
         )
         .filter(F.size("_ds") >= 2)
     )
-    ds = F.col("_ds")
-    pair_structs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.greatest(F.size(ds) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["doc"].alias("doc_a"),
-                    y["doc"].alias("doc_b"),
-                    x["simhash"].alias("sim_a"),
-                    y["simhash"].alias("sim_b"),
-                ),
-            ),
-        )
-    )
     cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        buckets.select(F.explode("_ds").alias("l"), "_ds")
+        .select("l", F.explode("_ds").alias("r"))
+        .filter(F.col("l.doc") < F.col("r.doc"))
+        .select(
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
         .distinct()
     )
     return (
