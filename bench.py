@@ -106,16 +106,33 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
     # single-file parquet scans as one partition — spread text/vector
     # work across cores; replicate with DISTINCT ids so dedup joins see
     # realistic (not degenerate) duplicate structure
+    # Replicate documents with REALISTIC duplicate structure: the first
+    # 4 replicas of each doc are near-dups (suffix-perturbed, jaccard
+    # ~0.95 — what LSH must find), the rest are genuinely distinct (a
+    # replica-specific salt token injected every 4 tokens perturbs most
+    # shingles). An every-replica-near-dup corpus degenerates into
+    # x_factor-sized cliques whose size^2 pair expansion measures
+    # clique blow-up, not LSH (real corpora carry ~10-30% near-dup
+    # mass, not 64-way cliques of everything).
     text_factor = min(64, max(1, replicate // 4))
     documents = spark.table("documents").repartition(n_part)
     if text_factor > 1:
+        salted = F.regexp_replace(
+            F.col("text"),
+            F.lit(r"((?:\S+ ){4})"),
+            F.concat(F.lit("$1u"), F.col("_rep").cast("string"), F.lit(" ")),
+        )
         documents = (
             documents.withColumn(
                 "_rep", F.explode(F.sequence(F.lit(0), F.lit(text_factor - 1)))
             )
             .withColumn("doc_id", F.col("doc_id") * 100 + F.col("_rep"))
             .withColumn(
-                "text", F.concat(F.col("text"), F.lit(" rep"), F.col("_rep"))
+                "text",
+                F.when(
+                    F.col("_rep") < 4,
+                    F.concat(F.col("text"), F.lit(" rep"), F.col("_rep")),
+                ).otherwise(salted),
             )
             .drop("_rep")
         )

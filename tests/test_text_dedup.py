@@ -146,3 +146,22 @@ def test_shingles(spark):
     assert out == ["a b c", "b c d"]
     short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     assert short.select(shingles(F.col("text"), 3).alias("s")).collect()[0]["s"] == []
+
+
+def test_minhash_family_independence(spark):
+    # regression (r2): an affine family WITHOUT a modulus is monotonic,
+    # every MIN picks the same shingle, and unrelated docs collide on
+    # all bands. Distinct-content docs must produce ZERO candidates.
+    import hashlib as _h
+
+    from vtshaver_spark.operators.dedup import minhash_lsh_candidates
+
+    def words(i):
+        return " ".join(
+            _h.md5(f"{i}:{k}".encode()).hexdigest()[:8] for k in range(30)
+        )
+
+    docs = spark.createDataFrame(
+        [(i, words(i)) for i in range(60)], "doc_id long, text string"
+    )
+    assert minhash_lsh_candidates(docs).count() == 0

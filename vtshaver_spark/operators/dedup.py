@@ -24,13 +24,23 @@ from vtshaver_spark.functions.text import (
 )
 
 
+# Mersenne prime modulus for the universal hash family (fits signed-64
+# products: a, x < 2^31 -> a*x + b < 2^62).
+MH_PRIME = (1 << 31) - 1
+
+
 def _family_constants(j: int) -> tuple[int, int]:
-    """Deterministic (a, b) pair for the j-th multiply-shift hash:
-    a odd in [1, 2^31-2], b in [0, 2^31). Derived from md5 so the
-    family is reproducible without RNG state."""
+    """Deterministic (a, b) for the j-th universal hash
+    h_j(x) = (a*x + b) mod MH_PRIME, a in [1, p-1], b in [0, p-1].
+    Derived from md5 so the family is reproducible without RNG state.
+
+    The modulus is essential: an affine map WITHOUT it is monotonic in
+    x, so min-over-shingles picks the same shingle for every j and the
+    'independent' family is perfectly correlated (observed: LSH
+    candidates at jaccard 0.01)."""
     d = hashlib.md5(f"vtshaver-mh:{j}".encode()).digest()
-    a = (int.from_bytes(d[:4], "big") % ((1 << 31) - 3)) | 1
-    b = int.from_bytes(d[4:8], "big") % (1 << 31)
+    a = int.from_bytes(d[:4], "big") % (MH_PRIME - 1) + 1
+    b = int.from_bytes(d[4:8], "big") % MH_PRIME
     return a, b
 
 
@@ -49,8 +59,8 @@ def _salted_hash(col: Column, j: int, hash_mode: str) -> Column:
     if hash_mode == "portable":
         return portable_hash60(F.concat(F.lit(f"{j}:"), col))
     a, b = _family_constants(j)
-    base32 = F.xxhash64(col).bitwiseAND(F.lit(0xFFFFFFFF))
-    return base32 * F.lit(a) + F.lit(b)
+    base = F.pmod(F.xxhash64(col), F.lit(MH_PRIME))
+    return F.pmod(base * F.lit(a) + F.lit(b), F.lit(MH_PRIME))
 
 
 def _bucket_hash(col: Column, hash_mode: str) -> Column:
@@ -106,11 +116,15 @@ def minhash_signatures(
         F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("_s"),
     )
     if hash_mode == "fast":
-        # hash the string once; the family is affine in the 32-bit base
-        sh = sh.withColumn("_b32", F.xxhash64("_s").bitwiseAND(F.lit(0xFFFFFFFF)))
+        # hash the string once; the family is (a*x + b) mod p over the
+        # reduced base (a pure affine map without the modulus is
+        # monotonic — all mins pick the same shingle)
+        sh = sh.withColumn("_b32", F.pmod(F.xxhash64("_s"), F.lit(MH_PRIME)))
         consts = [_family_constants(j) for j in range(num_hashes)]
         aggs = [
-            F.min(F.col("_b32") * F.lit(a) + F.lit(b)).alias(f"_h{j}")
+            F.min(
+                F.pmod(F.col("_b32") * F.lit(a) + F.lit(b), F.lit(MH_PRIME))
+            ).alias(f"_h{j}")
             for j, (a, b) in enumerate(consts)
         ]
     else:
@@ -188,6 +202,13 @@ def minhash_lsh_candidates(
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("_docs") <= max_bucket_size)
+    # Re-spread surviving buckets across full parallelism before the
+    # CPU-heavy expansion: AQE's post-shuffle coalescing sizes
+    # partitions by the (tiny) bucket-row bytes, not by the size^2
+    # rows each bucket EXPANDS to — measured running the expansion on
+    # half the cores at local[32]. The extra shuffle moves only the
+    # filtered bucket rows (orders of magnitude below the banded set).
+    buckets = buckets.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # i<j expansion as two JVM Generate operators + codegen'd filter
     # (higher-order transform lambdas evaluate interpreted — measured
     # ~2x slower on 3.3M pairs; the size<=cap bound keeps the
@@ -332,6 +353,9 @@ def simhash_near_dups(
         )
         .filter(F.size("_ds") >= 2)
     )
+    # spread the size^2 expansion across full parallelism (see
+    # minhash_lsh_candidates)
+    buckets = buckets.repartition(df.sparkSession.sparkContext.defaultParallelism)
     cand = (
         buckets.select(F.explode("_ds").alias("l"), "_ds")
         .select("l", F.explode("_ds").alias("r"))
