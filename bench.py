@@ -35,6 +35,7 @@ from vtshaver_spark.operators.dedup import exact_dedup, minhash_lsh_candidates
 from vtshaver_spark.operators.knn import knn_join_broadcast
 from vtshaver_spark.operators.pip import pip_rect_join
 from vtshaver_spark.operators.shave import shave
+from vtshaver_spark.sources.mvt import decode_tiles, encode_tiles_mvt
 from vtshaver_spark.sources.views import features_with_props, register_views
 from vtshaver_spark.session import build_session
 
@@ -194,6 +195,48 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
         )
         timed("ann_cosine", lambda: cosine_topk(embeddings, q, k=10).count())
 
+    mvt_tiles = 0
+    if subset in ("all", "mvt"):
+        # End-to-end MVT tile pipeline: decode (protobuf) -> shave ->
+        # re-encode, over a synthetic tile corpus shaped like the
+        # reference's bench corpus (~50 features/tile — the sf fixture
+        # averages 49). Directly comparable to the reference CI gate
+        # (>= 1000 tiles/s, bench/bench-batch.js:126-133).
+        mvt_factor = min(replicate, 32)
+        fbase = features_with_props(spark).repartition(n_part)
+        n_rows = fbase.count() * mvt_factor
+        grid = max(4, int((n_rows / 50.0) ** 0.5) + 1)
+        f = (
+            fbase.withColumn(
+                "_rep", F.explode(F.sequence(F.lit(0), F.lit(mvt_factor - 1)))
+            )
+            .withColumn(
+                "x", F.pmod(F.xxhash64("feature_id", "_rep"), F.lit(grid)).cast("bigint")
+            )
+            .withColumn(
+                "y", F.pmod(F.xxhash64("_rep", "feature_id"), F.lit(grid)).cast("bigint")
+            )
+            .withColumn("z", F.lit(16).cast("int"))
+            .drop("_rep")
+        )
+        tiles = encode_tiles_mvt(
+            f.select("z", "x", "y", "layer", "feature_id", "geom_type", "props")
+        ).cache()
+        mvt_tiles = tiles.count()  # untimed corpus build
+
+        def mvt_pipeline():
+            rows = decode_tiles(tiles)
+            shaved = shave(rows, filters, zoom=16, maxzoom=16)
+            return encode_tiles_mvt(
+                shaved.select(
+                    "z", "x", "y", "layer", "feature_id", "geom_type",
+                    "geometry", "props", "prop_types",
+                )
+            ).count()
+
+        timed("mvt_shave", mvt_pipeline)
+        tiles.unpersist()
+
     total = round(sum(timings.values()), 3)
     out = {
         "timings": timings,
@@ -203,6 +246,9 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
         "image_rows": image_rows,
         "rows_per_sec": round((feature_rows + 2 * image_rows) / total, 1),
     }
+    if mvt_tiles:
+        out["mvt_tiles"] = mvt_tiles
+        out["mvt_tiles_per_sec"] = round(mvt_tiles / timings["mvt_shave"], 1)
     if subset == "all":
         shaved_and_joined = counts["shave"] + counts["knn"] + counts["pip"]
         out["shaved_joined_rows_per_sec"] = round(
@@ -261,7 +307,10 @@ def main():
         #    understate true multi-executor scaling.
         rel_pair = os.environ.get("SPARK_GRAFT_REL_CORES", "8,32").split(",")
         ker_pair = os.environ.get("SPARK_GRAFT_KER_CORES", "2,8").split(",")
-        rel_repl = int(os.environ.get("SPARK_GRAFT_REL_REPLICATE", "256"))
+        # big enough that compute dominates fixed per-stage costs (at
+        # x256 the whole 32-core suite ran 7.4s — scheduling floors of
+        # ~0.5s/query masked the scaling signal)
+        rel_repl = int(os.environ.get("SPARK_GRAFT_REL_REPLICATE", "2048"))
         ker_repl = int(os.environ.get("SPARK_GRAFT_KER_REPLICATE", "64"))
 
         def pair_run(pair, repl, subset):
@@ -309,6 +358,9 @@ def main():
         "shaved_joined_rows_per_sec": result["shaved_joined_rows_per_sec"],
         "counts": result["counts"],
     }
+    if "mvt_tiles_per_sec" in result:
+        out["mvt_tiles"] = result["mvt_tiles"]
+        out["mvt_tiles_per_sec"] = result["mvt_tiles_per_sec"]
     print(json.dumps(out))
 
 

@@ -301,6 +301,12 @@ def rows_to_tile(rows: list[dict], compress: bool = False) -> bytes:
     """
     by_layer: dict[str, list[dict]] = {}
     for r in rows:
+        # Arrow map columns surface as list-of-(k,v)-tuples in some
+        # pandas paths; normalize to dicts
+        for mk in ("props", "prop_types"):
+            v = r.get(mk)
+            if isinstance(v, list):
+                r[mk] = dict(v)
         by_layer.setdefault(r["layer"], []).append(r)
     out = bytearray()
     for lname in sorted(by_layer):
@@ -381,25 +387,46 @@ def decode_tiles(df, tile_col: str = "tile", carry_cols: tuple = ("z", "x", "y")
     )
     schema = (carry_schema + ", " if carry_schema else "") + MVT_ROW_SCHEMA
 
+    row_fields = (
+        "layer", "layer_version", "layer_extent", "feature_id",
+        "geom_type", "geometry", "props", "prop_types",
+    )
+
     def kernel(batches):
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                blob = row[tile_col]
-                for r in tile_to_rows(bytes(blob)):
-                    rec = {c: row[c] for c in carry}
-                    rec.update(r)
-                    out.append(rec)
-            if out:
-                yield pd.DataFrame(out)
+            # column-wise assembly (iterrows + list-of-dicts DataFrame
+            # construction measured ~3x slower per feature)
+            cols: dict = {c: [] for c in (*carry, *row_fields)}
+            carry_series = [pdf[c].tolist() for c in carry]
+            for i, blob in enumerate(pdf[tile_col].tolist()):
+                rows = tile_to_rows(bytes(blob))
+                for c, series in zip(carry, carry_series):
+                    cols[c].extend([series[i]] * len(rows))
+                for fld in row_fields:
+                    col = cols[fld]
+                    for r in rows:
+                        col.append(r[fld])
+            if cols["layer"]:
+                yield pd.DataFrame(cols)
 
     return df.select(*carry, tile_col).mapInPandas(kernel, schema=schema)
 
 
-def encode_tiles_mvt(df, compress=False, tile_cols: tuple = ("z", "x", "y")):
-    """Group feature rows into MVT blobs per tile
-    (groupBy(z,x,y).applyInPandas). ``compress`` takes the reference's
-    validated ``{type: none|gzip}`` contract or a bare bool. Pair with
+def encode_tiles_mvt(
+    df,
+    compress=False,
+    tile_cols: tuple = ("z", "x", "y"),
+    strategy: str = "agg",
+):
+    """Group feature rows into MVT blobs per tile. ``compress`` takes
+    the reference's validated ``{type: none|gzip}`` contract or a bool.
+
+    ``strategy="agg"`` (default): ``collect_list(struct)`` per tile +
+    a scalar Arrow-batched pandas UDF encoding MANY tiles per batch —
+    per-tile cost is one python loop iteration. ``"grouped"`` uses
+    ``applyInPandas`` per (z,x,y); its per-group pandas machinery costs
+    ~ms per tile, which dominates for web-scale tile counts (tiles are
+    ~50 features). Pair with
     ``vtshaver_spark.plans.partitioning.repartition_for_tiles`` before
     wide writes at scale."""
     import pandas as pd
@@ -407,8 +434,20 @@ def encode_tiles_mvt(df, compress=False, tile_cols: tuple = ("z", "x", "y")):
     from vtshaver_spark.errors import validate_compress
 
     compress = validate_compress(compress)
-
     tile_cols = list(tile_cols)
+
+    if strategy == "agg":
+        from pyspark.sql import functions as F
+
+        from vtshaver_spark.functions.pandas_kernels import make_tile_encoder
+
+        data_cols = [c for c in df.columns if c not in tile_cols]
+        grouped = df.groupBy(*tile_cols).agg(
+            F.collect_list(F.struct(*data_cols)).alias("_rows")
+        )
+        enc_udf = make_tile_encoder(compress)
+        return grouped.select(*tile_cols, enc_udf(F.col("_rows")).alias("tile"))
+
     key_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in df.schema.fields
