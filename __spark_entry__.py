@@ -35,7 +35,8 @@ from vtshaver_spark.operators.dedup import (
 )
 from vtshaver_spark.operators.knn import caption_landmark_join, knn_join_broadcast
 from vtshaver_spark.operators.pip import pip_rect_join
-from vtshaver_spark.operators.shave import shave
+from vtshaver_spark.functions.text import quality_score, stopword_ratio
+from vtshaver_spark.operators.shave import shave, shave_with_metrics
 from vtshaver_spark.sources.mvt import decode_tiles, encode_tiles_mvt
 from vtshaver_spark.sources.views import (
     DERIVED_VIEWS,
@@ -48,6 +49,37 @@ from vtshaver_spark.sources.views import (
 )
 
 GEOM_OK = "geom_type IN ('Point', 'LineString', 'Polygon')"
+
+# Donut geofence for the `within` driver query: outer box over the US
+# west with a hole over the SF hot cell (exercises interior-ring
+# even-odd semantics end-to-end).
+GEOFENCE = {
+    "type": "Polygon",
+    "coordinates": [
+        [[-130.0, 30.0], [-100.0, 30.0], [-100.0, 45.0], [-130.0, 45.0], [-130.0, 30.0]],
+        [[-123.0, 37.0], [-122.0, 37.0], [-122.0, 38.5], [-123.0, 38.5], [-123.0, 37.0]],
+    ],
+}
+
+
+def _within_parity_sql(polygon: dict, lon: str = "lon", lat: str = "lat") -> str:
+    """Crossing-count parity (even-odd ray cast) for a literal GeoJSON
+    polygon — the SQL mirror of functions/expr._op_within."""
+    terms = []
+    for ring in polygon["coordinates"]:
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
+            if ay == by:
+                continue
+            slope = (bx - ax) / (by - ay)
+            terms.append(
+                f"CASE WHEN (({ay!r} > {lat}) <> ({by!r} > {lat})) "
+                f"AND {lon} < ({lat} - {ay!r}) * {slope!r} + {ax!r} "
+                f"THEN 1 ELSE 0 END"
+            )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +278,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["mvt_roundtrip"] = mvt_roundtrip
+
+    def shave_metrics(spark, sf_dir):
+        # O22 metrics contract: per-tile before/after feature counts
+        # and property bytes from ONE conditional aggregation
+        register_views(spark, sf_dir)
+        df = features_with_props(spark)
+        filters = Filters(style_to_filters(CAFE_STYLE))
+        _, metrics = shave_with_metrics(df, filters, zoom=16, maxzoom=16)
+        return metrics.select(
+            "z", "x", "y",
+            "features_before", "features_after",
+            "prop_bytes_before", "prop_bytes_after",
+        )
+
+    q["shave_metrics"] = shave_metrics
+
+    def doc_quality(spark, sf_dir):
+        # composite text-quality heuristic + stopword ratio (training-
+        # data filtering primitives), value-exact vs the SQL oracle
+        register_views(spark, sf_dir)
+        d = spark.table("documents")
+        n = F.length("text")
+        return d.select(
+            "doc_id",
+            F.round(stopword_ratio(F.col("text")), 6).alias("stop_r"),
+            F.round(quality_score(F.col("text"), n), 6).alias("quality_r"),
+        )
+
+    q["doc_quality"] = doc_quality
+
+    def within_geofence(spark, sf_dir):
+        # GL ["within", GeoJSON] over the image corpus — a donut
+        # polygon so interior-ring (hole) semantics are driver-checked
+        register_views(spark, sf_dir)
+        from vtshaver_spark.functions.expr import FilterContext, filter_to_column
+
+        imgs = spark.table("images_v")
+        ctx = FilterContext(
+            props="props", geom_type="geom_type", feature_id="k", zoom=10.0
+        )
+        pred = filter_to_column(["within", GEOFENCE], ctx)
+        return imgs.filter(pred).select("image_id", "lon", "lat")
+
+    q["within_geofence"] = within_geofence
 
     # --- tiling / cells (G1, G2, G7) -------------------------------------
     def tile_assign(spark, sf_dir):
@@ -501,6 +577,65 @@ WHERE layer IN ('road', 'poi_label') AND {GEOM_OK}
 SELECT z, x, y, feature_id, layer, geom_type,
        {keys_expr} AS prop_keys, maki
 FROM features_v
+""")
+
+    # CAFE_STYLE: keep = poi_label & maki='cafe' & real geometry; the
+    # property allowlist is [maki]. Byte accounting mirrors prop_bytes
+    # (sum of key+value lengths of retained properties).
+    _pcols = {
+        "class": 5, "filterrank": 10, "maki": 4, "oneway": 6,
+        "structure": 9, "type": 4, "underground": 11,
+    }
+    before_bytes = " + ".join(
+        f"CASE WHEN {c} IS NOT NULL THEN {kl} + length({c}) ELSE 0 END"
+        for c, kl in _pcols.items()
+    )
+    o["shave_metrics"] = _oracle(f"""
+SELECT z, x, y,
+       COUNT(*) AS features_before,
+       CAST(SUM(CASE WHEN layer = 'poi_label' AND maki = 'cafe' AND {GEOM_OK}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS features_after,
+       CAST(SUM({before_bytes}) AS BIGINT) AS prop_bytes_before,
+       CAST(SUM(CASE WHEN layer = 'poi_label' AND maki = 'cafe' AND {GEOM_OK}
+                     THEN 4 + length(maki) ELSE 0 END) AS BIGINT) AS prop_bytes_after
+FROM features_v
+GROUP BY z, x, y
+""")
+
+    en_words = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    o["doc_quality"] = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, text,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> list_contains([{en_words}], x))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS stop_r,
+         CASE WHEN n > 0
+              THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n
+              ELSE 0.0 END AS alpha_r,
+         CASE WHEN n > 0
+              THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / n
+              ELSE 0.0 END AS punct_r
+  FROM t
+)
+SELECT doc_id,
+       ROUND(stop_r, 6) AS stop_r,
+       ROUND(LEAST(CAST(n AS DOUBLE) / 500.0, 1.0) * 0.25
+             + alpha_r * 0.35
+             + (1.0 - LEAST(punct_r * 4.0, 1.0)) * 0.2
+             + LEAST(stop_r * 4.0, 1.0) * 0.2, 6) AS quality_r
+FROM s
+"""
+
+    o["within_geofence"] = _oracle(f"""
+SELECT image_id, lon, lat
+FROM images_v
+WHERE lon IS NOT NULL AND lat IS NOT NULL AND ({_within_parity_sql(GEOFENCE)})
 """)
 
     tx5 = geo.tile_x_sql("lon", 5)

@@ -5,11 +5,13 @@ Default: runs the headline engine pipelines at $SPARK_GRAFT_SF_DIR
 ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
 (per-query sec), "sf", plus throughput extras}.
 
-Scaling mode (--scaling): runs the same bulk pipeline at local[8] and
-local[32] on identical input and reports per-core-normalized scaling
+Scaling mode (--scaling): runs the same bulk pipeline at local[N] and
+local[4N] on identical input and reports per-core-normalized scaling
 efficiency — the sandbox proxy for the north rule's two-cluster-size
 criterion (N vs 4N executors, efficiency >= 0.8). Results also land in
-BENCH.md.
+BENCH.md. Core pairs default to 2v8 (core-fair on this single-socket
+box; see BENCH.md's memory-bus section) and are overridable via
+SPARK_GRAFT_REL_CORES / SPARK_GRAFT_KER_CORES.
 
 The corpus is replicated ~REPLICATE x via explode to give the engine
 enough rows to measure (sf0.1 orders = 150k -> ~1.2M feature rows).
@@ -115,7 +117,7 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
     # x_factor-sized cliques whose size^2 pair expansion measures
     # clique blow-up, not LSH (real corpora carry ~10-30% near-dup
     # mass, not 64-way cliques of everything).
-    text_factor = min(64, max(1, replicate // 4))
+    text_factor = min(256, max(1, replicate // 4))
     documents = spark.table("documents").repartition(n_part)
     if text_factor > 1:
         salted = F.regexp_replace(
@@ -259,7 +261,14 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
     return out
 
 
-def one_run(cores: int, sf_dir: str, warmup: bool = True, replicate: int = REPLICATE, subset: str = "all") -> dict:
+def one_run(
+    cores: int,
+    sf_dir: str,
+    warmup: bool = True,
+    replicate: int = REPLICATE,
+    subset: str = "all",
+    passes: int = 2,
+) -> dict:
     spark = build_session(
         app_name=f"bench-{cores}",
         master=f"local[{cores}]",
@@ -275,13 +284,13 @@ def one_run(cores: int, sf_dir: str, warmup: bool = True, replicate: int = REPLI
             # with worker count and would otherwise dominate a
             # seconds-scale suite and invert the scaling signal).
             run_suite(spark, sf_dir, replicate, subset)
-        # min-of-2: the sandbox host shows large run-to-run noise
-        # (shared tenancy); the minimum is the least-contended estimate
-        a = run_suite(spark, sf_dir, replicate, subset)
-        b = run_suite(spark, sf_dir, replicate, subset)
-        best = a if a["total_sec"] <= b["total_sec"] else b
+        # per-query min over passes: the sandbox host shows large
+        # run-to-run noise (shared tenancy); the minimum is the
+        # least-contended estimate
+        results = [run_suite(spark, sf_dir, replicate, subset) for _ in range(passes)]
+        best = results[0]
         best["timings"] = {
-            k: min(a["timings"][k], b["timings"][k]) for k in a["timings"]
+            k: min(r["timings"][k] for r in results) for k in best["timings"]
         }
         best["total_sec"] = round(sum(best["timings"].values()), 3)
         return best
@@ -305,7 +314,13 @@ def main():
         #    drives a JVM thread AND a python worker (~2 cores/slot),
         #    so local[32] would oversubscribe this 32-core box 2x and
         #    understate true multi-executor scaling.
-        rel_pair = os.environ.get("SPARK_GRAFT_REL_CORES", "8,32").split(",")
+        # Both suites measure their N vs 4N pair at 2 vs 8 cores: this
+        # 32-core single-socket box saturates its DRAM bus well before
+        # 32 threads for scan-heavy stages (tile_rollup plateaus at
+        # ~65M rows/s from 8 cores up), so an 8v32 pair measures the
+        # memory bus, not the plans. Real clusters add DRAM/NIC per
+        # executor; 2v8 is the core-fair proxy.
+        rel_pair = os.environ.get("SPARK_GRAFT_REL_CORES", "2,8").split(",")
         ker_pair = os.environ.get("SPARK_GRAFT_KER_CORES", "2,8").split(",")
         # big enough that compute dominates fixed per-stage costs (at
         # x256 the whole 32-core suite ran 7.4s — scheduling floors of
@@ -314,9 +329,29 @@ def main():
         ker_repl = int(os.environ.get("SPARK_GRAFT_KER_REPLICATE", "64"))
 
         def pair_run(pair, repl, subset):
+            # INTERLEAVED rounds (lo, hi, lo, hi, ...) with per-query
+            # minima across rounds: shared-host tenancy drifts over
+            # minutes, so sequential per-config measurement biases
+            # whichever config ran during the quiet window.
+            rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
             lo_c, hi_c = int(pair[0]), int(pair[1])
-            lo = one_run(lo_c, sf_dir, replicate=repl, subset=subset)
-            hi = one_run(hi_c, sf_dir, replicate=repl, subset=subset)
+            acc = {}
+            for rd in range(rounds):
+                for c in (lo_c, hi_c):
+                    r = one_run(
+                        c, sf_dir, warmup=(rd == 0), replicate=repl,
+                        subset=subset, passes=1,
+                    )
+                    if c not in acc:
+                        acc[c] = r
+                    else:
+                        acc[c]["timings"] = {
+                            k: min(acc[c]["timings"][k], r["timings"][k])
+                            for k in r["timings"]
+                        }
+            for c in acc:
+                acc[c]["total_sec"] = round(sum(acc[c]["timings"].values()), 3)
+            lo, hi = acc[lo_c], acc[hi_c]
             speedup = lo["total_sec"] / hi["total_sec"]
             ratio = hi_c / lo_c
             return {
@@ -392,8 +427,12 @@ def _write_bench_md(rel, ker, sf_dir):
         "",
         f"shave + tile rollup + PIP range-join + exact dedup + MinHash-LSH, "
         f"corpus x{rel['replicate']} ({rel['hi']['feature_rows']} feature rows, "
-        f"{rel['hi']['image_rows']} image rows). Task slots map 1:1 to cores -> "
-        "measured at N=8 vs 4N=32.",
+        f"{rel['hi']['image_rows']} image rows). Measured at the core-fair "
+        f"N={rel['cores'][0]} vs 4N={rel['cores'][1]} pair: this single-socket "
+        "box saturates its DRAM bus before 32 threads on scan-heavy stages "
+        "(tile_rollup plateaus ~65M rows/s from 8 cores up; an 8v32 pair "
+        "measures the memory bus, not the plans — see the ceiling-evidence "
+        "section below).",
         "",
         *table(rel, rel_q),
         "",
