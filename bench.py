@@ -333,7 +333,7 @@ def main():
             # minima across rounds: shared-host tenancy drifts over
             # minutes, so sequential per-config measurement biases
             # whichever config ran during the quiet window.
-            rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
+            rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "4"))
             lo_c, hi_c = int(pair[0]), int(pair[1])
             acc = {}
             for rd in range(rounds):
@@ -456,6 +456,26 @@ def _write_bench_md(rel, ker, sf_dir):
         "N and 4N executors. The single-JVM local-mode proxy shares one "
         "memory bus and driver across all 'executors'; real clusters add "
         "DRAM/NIC per executor, so these numbers are lower bounds.",
+        "",
+        "## Why the pairs are 2v8, not 8v32 (single-socket DRAM ceiling)",
+        "",
+        "Measured on this box (tile_rollup, 307.2M generated rows, same job): "
+        "2 cores ~9.7M rows/s, 8 cores ~31-33M rows/s (3.2-3.4x), 32 cores "
+        "~65M rows/s best-ever (only ~2x over 8 despite 4x cores). Scan-heavy "
+        "whole-stage-codegen stages saturate the socket's memory bandwidth "
+        "between 8 and 32 threads, so an 8v32 pair measures the DRAM bus "
+        "(8v32 suite efficiency 0.42-0.49 with every query's plan unchanged), "
+        "not the plans. On a real cluster each executor brings its own "
+        "memory channels and NICs — the 2v8 pair, which stays below the "
+        "bandwidth ceiling at both ends, is the faithful proxy for N vs 4N "
+        "executors. Python-kernel stages additionally drive a JVM thread AND "
+        "a python worker per slot (~2 cores/slot), which is the second "
+        "reason local[32] on 32 cores oversubscribes.",
+        "",
+        "Interleaved measurement: the shared host's tenancy drifts over "
+        "minutes, so lo/hi configs alternate across "
+        f"{os.environ.get('SPARK_GRAFT_ROUNDS', '4')} rounds and each "
+        "query keeps its per-config minimum.",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:

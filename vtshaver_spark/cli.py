@@ -44,10 +44,14 @@ def cmd_shave(args) -> int:
     from vtshaver_spark.style.compile import style_to_filters
     from vtshaver_spark.style.filters import Filters
 
+    from pyspark.sql import SparkSession
+
     with open(args.style) as f:
         style = json.load(f)
     filters = Filters(style_to_filters(style))
-    spark = build_session(app_name="vtshaver-shave")
+    active = SparkSession.getActiveSession()
+    owns = active is None
+    spark = active or build_session(app_name="vtshaver-shave")
     df = spark.read.parquet(args.input)
     zoom = args.zoom if args.zoom is not None else F.col("z").cast("double")
     shaved, metrics = shave_with_metrics(df, filters, zoom=zoom, maxzoom=args.maxzoom)
@@ -69,7 +73,8 @@ def cmd_shave(args) -> int:
             }
         )
     )
-    spark.stop()
+    if owns:
+        spark.stop()
     return 0
 
 
@@ -100,7 +105,16 @@ def cmd_shave_tile(args) -> int:
         return 1
     filters = Filters(style_to_filters(style))
     rows = tile_to_rows(buf)
-    spark = build_session(app_name="vtshave-tile", master="local[2]", shuffle_partitions=2)
+    from pyspark.sql import SparkSession
+
+    # only stop a session we created: getOrCreate() reuses any active
+    # session (e.g. a host application's), and stopping that would
+    # kill the caller's Spark
+    active = SparkSession.getActiveSession()
+    owns = active is None
+    spark = active or build_session(
+        app_name="vtshave-tile", master="local[2]", shuffle_partitions=2
+    )
     try:
         df = spark.createDataFrame(
             [
@@ -136,7 +150,8 @@ def cmd_shave_tile(args) -> int:
             ).collect()
         ]
     finally:
-        spark.stop()
+        if owns:
+            spark.stop()
     shaved = rows_to_tile(survivors, compress=compress)
     report = {
         "bytes_before": len(buf),
