@@ -297,3 +297,82 @@ def test_unknown_geometry_tolerated_then_dropped_by_shave(spark):
         zoom=0,
     ).collect()
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# reference byte-size regression parity: our deterministic encoder
+# reproduces the EXACT shaved sizes the reference pins
+# (test/propertyKeyValueFilter.test.js:56-73 — 7718->5514 sf,
+# 30607->16780 z16-housenum, 7718->6609 properties.json style)
+# ---------------------------------------------------------------------------
+
+import json
+
+SEVEN_LAYER_STYLE = {
+    "layers": [
+        {"id": l, "source-layer": l}
+        for l in [
+            "landuse", "water", "building", "road",
+            "poi_label", "road_label", "housenum_label",
+        ]
+    ]
+}
+
+
+def _shave_and_encode(spark, buf, style, zoom):
+    rows = tile_to_rows(buf)
+    df = spark.createDataFrame(
+        [
+            (
+                r["layer"], r["layer_version"], r["layer_extent"],
+                r["feature_id"], r["geom_type"], bytearray(r["geometry"]),
+                r["props"], r["prop_types"],
+            )
+            for r in rows
+        ],
+        "layer string, layer_version int, layer_extent int, feature_id bigint,"
+        " geom_type string, geometry binary, props map<string,string>,"
+        " prop_types map<string,string>",
+    )
+    filters = Filters(style_to_filters(style))
+    survivors = [
+        {
+            "layer": r["layer"],
+            "layer_version": r["layer_version"],
+            "layer_extent": r["layer_extent"],
+            "feature_id": r["feature_id"],
+            "geom_type": r["geom_type"],
+            "geometry": bytes(r["geometry"]) if r["geometry"] is not None else b"",
+            "props": r["props"],
+            "prop_types": r["prop_types"],
+        }
+        for r in shave(df, filters, zoom=zoom).collect()
+    ]
+    return rows_to_tile(survivors)
+
+
+def test_size_regression_sf_seven_layer(spark):
+    with open(SF_TILE, "rb") as f:
+        buf = f.read()
+    assert len(buf) == 7718
+    out = _shave_and_encode(spark, buf, SEVEN_LAYER_STYLE, zoom=14)
+    assert len(out) == 5514  # exact reference pin
+
+
+def test_size_regression_housenum(spark):
+    p = "/root/reference/test/fixtures/tiles/z16-housenum.mvt"
+    with open(p, "rb") as f:
+        buf = f.read()
+    assert len(buf) == 30607
+    out = _shave_and_encode(spark, buf, SEVEN_LAYER_STYLE, zoom=14)
+    assert len(out) == 16780  # exact reference pin
+
+
+def test_size_regression_properties_style(spark):
+    style = json.load(
+        open("/root/reference/test/fixtures/styles/properties.json")
+    )
+    with open(SF_TILE, "rb") as f:
+        buf = f.read()
+    out = _shave_and_encode(spark, buf, style, zoom=14)
+    assert len(out) == 6609  # exact reference pin

@@ -104,7 +104,9 @@ def grid_disk(cell: int, k: int = 1) -> list:
     operators/knn.knn_join_cells)."""
     if not HAS_H3:
         raise NotImplementedError(
-            "grid_disk needs the real h3 package; use knn_join_cells's "
-            "tile-cell rings in this environment"
+            "grid_disk needs the real h3 package; use "
+            "functions.geo.grid_disk_tile (packed tile cells, same ring "
+            "contract) or knn_join_cells's tile-cell rings in this "
+            "environment"
         )
     return [int(c, 16) for c in _h3.grid_disk(_h3.int_to_str(cell), k)]
