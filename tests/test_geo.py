@@ -127,3 +127,15 @@ def test_s2_udf(spark):
     )
     out = {r["id"]: r["cell_s2"] for r in with_s2_cell(df, level=8).collect()}
     assert out["a"] == out["b"] != out["c"]
+
+
+def test_grid_disk_tile():
+    from vtshaver_spark.functions.geo import grid_disk_tile
+
+    c = (5 << 58) + (0 << 29) + 3
+    disk = grid_disk_tile(c, 1)
+    assert len(disk) == 9 and c in disk
+    # antimeridian wrap: x=0 at z5 neighbors x=31
+    assert (5 << 58) + (31 << 29) + 3 in disk
+    # pole clamp: y=0 drops the out-of-range row
+    assert len(grid_disk_tile((5 << 58) + (4 << 29) + 0, 1)) == 6

@@ -325,3 +325,44 @@ def test_floating_point_zoom(spark, features):
     assert sf_tile(shave(features, filters, zoom=11)).count() == 13
     assert shave(features, filters, zoom=10.99).count() == 0
     assert shave(features, filters, zoom=11.01).count() == 0
+
+
+def test_validation_errors_round2():
+    # remaining message-parity branches (vtshaver.test.js:708-948):
+    # mixed legacy+expression filters, non-string operators, zoom
+    # option types, corrupt gzip input
+    import gzip
+
+    from vtshaver_spark import errors as E
+    from vtshaver_spark.sources.mvt import MVTError, tile_to_rows
+
+    def lf(filt):
+        return {"water": {"filters": filt, "minzoom": 0, "maxzoom": 22,
+                          "properties": True}}
+
+    # mbgl rejects mixed legacy+expression children
+    with pytest.raises(FilterError, match="expression-based"):
+        Filters(lf(["all", ["==", "class", "river"], ["==", ["get", "x"], 1]]))
+    # operator must be a string
+    with pytest.raises(FilterError, match="filter operator must be a string"):
+        Filters(lf([1, "class", "river"]))
+    # zoom option types (src/shave.cpp:392-410 parity)
+    f = Filters({"water": {"filters": True, "minzoom": 0, "maxzoom": 22,
+                           "properties": True}})
+    from vtshaver_spark.operators.shave import shave as _shave
+
+    with pytest.raises(ShaveError) as ex:
+        _shave(None, f, zoom=-2)
+    assert str(ex.value) == E.MSG_ZOOM_TYPE
+    with pytest.raises(ShaveError) as ex:
+        _shave(None, f, zoom="16")
+    assert str(ex.value) == E.MSG_ZOOM_TYPE
+    with pytest.raises(ShaveError) as ex:
+        _shave(None, f, zoom=16, maxzoom="x")
+    assert str(ex.value) == E.MSG_MAXZOOM_TYPE
+    with pytest.raises(ShaveError, match="Filters object"):
+        _shave(None, {"not": "filters"}, zoom=16)
+    # corrupt gzip body: sniffed as gzip, fails to inflate
+    bad = b"\x1f\x8b" + b"\x00" * 20
+    with pytest.raises(Exception):
+        tile_to_rows(bad)
