@@ -3,9 +3,12 @@
 Each ``queries()`` entry runs an engine operator (SURVEY.md §2) over
 the derived corpus views (vtshaver_spark/sources/views.py — identical
 SQL on the Spark and DuckDB sides), and ``oracle_sql()`` re-states the
-expected result in portable SQL. Non-SQL-expressible ops (MinHash-LSH,
-SimHash, SRP-LSH ANN) ship without oracles (rows-only check) and are
-golden-tested in tests/.
+expected result in portable SQL. EVERY query is oracled: the
+hash-based pipelines (MinHash-LSH, SimHash, SRP-LSH ANN,
+embedding near-dups) run in a DuckDB-reproducible "portable" hash
+mode / with deterministic hyperplanes so the oracle replays the whole
+pipeline value-exactly (production paths use the faster xxhash64
+family; structure is identical and golden-tested in tests/).
 """
 
 from __future__ import annotations
@@ -24,6 +27,7 @@ from vtshaver_spark.functions.text import (
 )
 from vtshaver_spark.operators.ann import (
     _hyperplanes,
+    cosine_near_dups,
     cosine_topk,
     lsh_cosine_topk,
     srp_probe_masks,
@@ -503,6 +507,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_near_dups"] = simhash_pairs
 
+    def embedding_near_dups(spark, sf_dir):
+        # embedding-cosine near-dup pairs: SRP-bucketed candidate
+        # generation + exact cosine verify; the deterministic
+        # hyperplanes let the oracle replay buckets, probes, and
+        # verification in SQL
+        register_views(spark, sf_dir)
+        out = cosine_near_dups(
+            spark.table("embeddings"), threshold=0.3, n_planes=8, probe_bits=1
+        )
+        return out.select("id_a", "id_b", F.round("cos", 6).alias("cos_r"))
+
+    q["embedding_near_dups"] = embedding_near_dups
+
     return q
 
 
@@ -844,6 +861,45 @@ ver AS (
 )
 SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard_r
 FROM ver WHERE jaccard >= 0.5
+"""
+
+    # embedding near-dup oracle: same plane/bucket/probe replay over
+    # the full corpus, exact-cosine verified at the threshold
+    nd_planes = _hyperplanes(64, 8)
+    nd_masks = srp_probe_masks(8, 1)
+
+    def nd_bucket_expr(col: str) -> str:
+        terms = []
+        for i, plane in enumerate(nd_planes):
+            lit = "[" + ", ".join(repr(float(c)) for c in plane) + "]"
+            terms.append(
+                f"{1 << i} * (CASE WHEN list_dot_product({col}, {lit}) >= 0 "
+                f"THEN 1 ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    o["embedding_near_dups"] = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+vb AS (SELECT vec_id, emb, {nd_bucket_expr("emb")} AS bucket FROM v),
+probes AS (
+  SELECT vec_id AS id_a, emb AS ea,
+         xor(CAST(bucket AS BIGINT), CAST(m.mask AS BIGINT)) AS bucket
+  FROM vb CROSS JOIN (SELECT unnest([{", ".join(str(m) for m in nd_masks)}]) AS mask) m
+),
+cand AS (
+  SELECT DISTINCT p.id_a, b.vec_id AS id_b, p.ea, b.emb AS eb
+  FROM probes p JOIN vb b ON p.bucket = b.bucket AND p.id_a < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         list_dot_product(ea, eb)
+           / (SQRT(list_dot_product(ea, ea)) * SQRT(list_dot_product(eb, eb))) AS cos
+  FROM cand
+)
+SELECT id_a, id_b, ROUND(cos, 6) AS cos_r
+FROM scored WHERE cos >= 0.3
 """
 
     # SRP-LSH ANN oracle: replay the deterministic hyperplanes,

@@ -65,3 +65,26 @@ def test_lsh_recall(spark, vectors, queries):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.5  # multiprobe LSH, top-1 bucket ring
+
+
+def test_cosine_near_dups(spark):
+    # planted near-dup: vec 1001 = tiny perturbation of vec 0; an
+    # orthogonal-ish vector never pairs
+    import numpy as np
+
+    rng_rows = []
+    for i in range(50):
+        v = [float(((i * 37 + k * 11) % 19) - 9) for k in range(16)]
+        rng_rows.append((i, v))
+    base = rng_rows[0][1]
+    dup = [x + (0.01 if j == 0 else 0.0) for j, x in enumerate(base)]
+    rng_rows.append((1001, dup))
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+
+    from vtshaver_spark.operators.ann import cosine_near_dups
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in cosine_near_dups(df, threshold=0.99, n_planes=8).collect()
+    }
+    assert (0, 1001) in pairs and pairs[(0, 1001)] > 0.999

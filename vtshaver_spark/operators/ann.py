@@ -223,6 +223,78 @@ def lsh_cosine_topk(
     )
 
 
+def cosine_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    probe_bits: int = 1,
+    dim: Optional[int] = None,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: Optional[int] = 10000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector member of the
+    dedup family: exact / MinHash / SimHash / embedding-cosine).
+
+    Candidates are pairs whose SRP buckets differ by <= probe_bits
+    bits: the LEFT occurrence of each vector explodes over the XOR
+    probe masks and equi-joins the unexploded bucket column — bucketed
+    generation, never all-pairs. Exact cosine verification
+    (Arrow-batched) then applies ``threshold``. Deterministic
+    hyperplanes -> the whole pipeline is replayable in SQL (driver
+    oracle). ``max_bucket_size`` drops degenerate buckets (a capped
+    bucket is near-identical mass — route it to exact dedup on the
+    quantized vector instead).
+    """
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    masks = srp_probe_masks(n_planes, probe_bits)
+    v = with_srp_bucket(
+        vectors.select(
+            F.col(vec_id), F.col(vec_col).cast("array<double>").alias("_vv")
+        ),
+        planes,
+        "_vv",
+    )
+    if max_bucket_size is not None:
+        w_sizes = (
+            v.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("_bucket")
+        )
+        v = v.join(w_sizes, "_bucket")
+    probes = v.select(
+        F.col(vec_id).alias("_ida"),
+        F.col("_vv").alias("_va"),
+        F.explode(
+            F.array(*[F.col("_bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_bucket"),
+    )
+    cand = (
+        probes.join(
+            v.select(
+                F.col(vec_id).alias("_idb"),
+                F.col("_vv").alias("_vb"),
+                "_bucket",
+            ),
+            "_bucket",
+        )
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb", "_va", "_vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", cosine_pairs_fast(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            "cos",
+        )
+    )
+
+
 def srp_probe_masks(n_planes: int, probe_bits: int) -> list:
     """Multiprobe XOR masks: own bucket, then all buckets within
     ``probe_bits`` bit flips."""
