@@ -29,6 +29,7 @@ from vtshaver_spark.operators.ann import (
     _hyperplanes,
     cosine_near_dups,
     cosine_topk,
+    ivf_cosine_topk,
     lsh_cosine_topk,
     srp_probe_masks,
 )
@@ -520,6 +521,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dups"] = embedding_near_dups
 
+    def ann_ivf(spark, sf_dir):
+        # IVF coarse-quantized ANN (inverted lists + n_probe) — the
+        # second scale path next to SRP-LSH; deterministic centroids
+        # make the full pipeline SQL-replayable
+        register_views(spark, sf_dir)
+        emb = spark.table("embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ivf_cosine_topk(
+            emb.filter(F.col("vec_id") >= 5), queries_df,
+            k=5, n_centroids=16, n_probe=4,
+        )
+        return out.select(
+            "query_id", "rank", "vec_id", F.round(F.col("cos"), 6).alias("cos_r")
+        )
+
+    q["ann_ivf_top5"] = ann_ivf
+
     return q
 
 
@@ -900,6 +920,56 @@ scored AS (
 )
 SELECT id_a, id_b, ROUND(cos, 6) AS cos_r
 FROM scored WHERE cos >= 0.3
+"""
+
+    COS = (
+        "list_dot_product({a}, {b}) / (SQRT(list_dot_product({a}, {a})) "
+        "* SQRT(list_dot_product({b}, {b})))"
+    )
+    o["ann_ivf_top5"] = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id >= 5
+),
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cemb
+  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 16)
+),
+assign AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT c.vec_id, c.emb, ct.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {COS.format(a="c.emb", b="ct.cemb")} DESC, ct.cid ASC
+           ) AS rn
+    FROM corpus c CROSS JOIN cent ct
+  ) t WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < 5
+),
+qprobe AS (
+  SELECT query_id, emb AS qemb, cid FROM (
+    SELECT qq.query_id, qq.emb, ct.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY qq.query_id
+             ORDER BY {COS.format(a="qq.emb", b="ct.cemb")} DESC, ct.cid ASC
+           ) AS rn
+    FROM q qq CROSS JOIN cent ct
+  ) t WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, {COS.format(a="a.emb", b="p.qemb")} AS cos
+  FROM assign a JOIN qprobe p ON a.cid = p.cid
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, ROUND(cos, 6) AS cos_r
+FROM ranked WHERE rank <= 5
 """
 
     # SRP-LSH ANN oracle: replay the deterministic hyperplanes,

@@ -88,3 +88,26 @@ def test_cosine_near_dups(spark):
         for r in cosine_near_dups(df, threshold=0.99, n_planes=8).collect()
     }
     assert (0, 1001) in pairs and pairs[(0, 1001)] > 0.999
+
+
+def test_ivf_recall_vs_exact(spark):
+    from vtshaver_spark.operators.ann import cosine_topk, ivf_cosine_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_cosine_topk(
+            corpus, queries, k=5, n_centroids=16, n_probe=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # probing half the lists finds most

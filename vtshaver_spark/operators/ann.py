@@ -295,6 +295,86 @@ def cosine_near_dups(
     )
 
 
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists, probe the ``n_probe`` closest
+    lists per query, exact cosine re-rank inside them.
+
+    Centroids are the ``n_centroids`` corpus vectors with the smallest
+    ids — deterministic (no RNG, no k-means iterations), which keeps
+    the whole pipeline SQL-replayable for the correctness oracle; at
+    deploy scale you'd swap in trained centroids without touching the
+    plan shape. Assignment is a map-only Arrow matmul-argmax; probing
+    joins a broadcast query list against the centroid column, so the
+    corpus shuffles ONCE at most (pre-partition by ``_cent`` via
+    plans.partitioning.repartition_by_cell to make probes
+    partition-pruned at scale).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent_rows = (
+        vectors.select(vec_id, vec_col).orderBy(vec_id).limit(n_centroids).collect()
+    )
+    cent_mat = np.array([list(r[vec_col]) for r in cent_rows], dtype=np.float64)
+    cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+
+    v = vectors.select(
+        F.col(vec_id), F.col(vec_col).cast("array<double>").alias("_vv")
+    )
+    out_schema = T.StructType(
+        list(v.schema.fields) + [T.StructField("_cent", T.IntegerType(), False)]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf["_vv"]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            # argmax returns the FIRST max -> ties break toward the
+            # smaller centroid index (centroids are id-ordered)
+            pdf["_cent"] = np.argmax(mat @ cent_norm.T, axis=1).astype(np.int32)
+            yield pdf
+
+    assigned = v.mapInPandas(assign, schema=out_schema)
+
+    q_rows = sorted(queries.select(query_id, vec_col).collect(), key=lambda r: r[query_id])
+    q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sims = q_mat @ cent_norm.T
+    probe_rows = []
+    for i, r in enumerate(q_rows):
+        top = np.argsort(-sims[i], kind="stable")[:n_probe]
+        for c in top:
+            probe_rows.append(
+                (int(r[query_id]), [float(x) for x in r[vec_col]], int(c))
+            )
+    q_probed = F.broadcast(
+        vectors.sparkSession.createDataFrame(
+            probe_rows, f"{query_id} long, _qv array<double>, _cent int"
+        )
+    )
+    scored = assigned.join(q_probed, "_cent").withColumn(
+        "cos", cosine_pairs_fast(F.col("_vv"), F.col("_qv"))
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(vec_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_qv", "_vv", "_cent")
+    )
+
+
 def srp_probe_masks(n_planes: int, probe_bits: int) -> list:
     """Multiprobe XOR masks: own bucket, then all buckets within
     ``probe_bits`` bit flips."""
