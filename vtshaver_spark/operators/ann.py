@@ -1,11 +1,17 @@
 """Similarity search over embedding columns (array<float>).
 
- - ``cosine_topk``: exact brute force — broadcast the query set,
-   JVM-side dot products via zip_with/aggregate (no Python).
- - ``lsh_cosine_topk``: the scale path — sign-random-projection
-   (SimHash-for-vectors) bucketing with multi-probe, exact re-rank
-   inside buckets. Hyperplanes are derived deterministically from a
-   seed constant (no RNG state).
+ - ``cosine_topk``: exact brute force — Arrow matmul kernel with
+   per-batch local top-k, tiny merge window.
+ - ``lsh_cosine_topk``: scale path 1 — sign-random-projection
+   bucketing (Arrow matmul + sign-pack) with multi-probe, exact
+   re-rank inside buckets.
+ - ``ivf_cosine_topk``: scale path 2 — coarse-quantized inverted
+   lists + n_probe, exact re-rank.
+ - ``cosine_near_dups``: all-corpus near-duplicate pairs via SRP
+   bucket adjacency (the embedding member of the dedup family).
+
+Hyperplanes/centroids are deterministic (no RNG state), which keeps
+every pipeline replayable in the driver's SQL oracle.
 """
 
 from __future__ import annotations
