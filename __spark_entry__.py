@@ -540,6 +540,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_top5"] = ann_ivf
 
+    def multimodal_meta(spark, sf_dir):
+        # G9/multimodal plumbing end-to-end: deterministic RAWI bytes
+        # generated per image, decoded back, typed metadata emitted.
+        # The oracle recomputes w/h from the generator's byte formula
+        # and pins phash integrity (encode->decode->rehash equality).
+        from vtshaver_spark.operators.multimodal import (
+            decode_features,
+            generate_image_bytes,
+        )
+
+        register_views(spark, sf_dir)
+        imgs = spark.table("images_v").filter(F.col("k") % 101 == 0).select(
+            "image_id"
+        )
+        dec = decode_features(generate_image_bytes(imgs))
+        return dec.select(
+            "image_id", "w", "h", "fmt",
+            (F.col("phash") == F.col("phash_check")).alias("phash_ok"),
+        )
+
+    q["multimodal_meta"] = multimodal_meta
+
     return q
 
 
@@ -921,6 +943,22 @@ scored AS (
 SELECT id_a, id_b, ROUND(cos, 6) AS cos_r
 FROM scored WHERE cos >= 0.3
 """
+
+    # w/h formulas mirror generate_image_bytes: int.from_bytes of the
+    # id's last 4 ascii bytes, big-endian for w, little-endian for h
+    def _ch(i: int) -> str:
+        return f"ascii(substr(image_id, length(image_id) - {3 - i}, 1))"
+
+    big4 = f"({_ch(0)} * 16777216 + {_ch(1)} * 65536 + {_ch(2)} * 256 + {_ch(3)})"
+    lit4 = f"({_ch(3)} * 16777216 + {_ch(2)} * 65536 + {_ch(1)} * 256 + {_ch(0)})"
+    o["multimodal_meta"] = _oracle(f"""
+SELECT image_id,
+       CAST(32 + {big4} % 97 AS INT) AS w,
+       CAST(32 + {lit4} % 73 AS INT) AS h,
+       'rawi' AS fmt,
+       TRUE AS phash_ok
+FROM images_v WHERE k % 101 = 0
+""")
 
     COS = (
         "list_dot_product({a}, {b}) / (SQRT(list_dot_product({a}, {a})) "

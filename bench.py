@@ -366,20 +366,30 @@ def main():
 
         rel = pair_run(rel_pair, rel_repl, "relational")
         ker = pair_run(ker_pair, ker_repl, "kernels")
+        codec_repl = int(os.environ.get("SPARK_GRAFT_CODEC_REPLICATE", "32"))
+        codec = pair_run(ker_pair, codec_repl, "mvt")
         out = {
             "metric": "tiles shaved + spatially joined per second (scaling)",
-            "value": rel["hi"]["total_sec"] + ker["hi"]["total_sec"],
+            "value": rel["hi"]["total_sec"] + ker["hi"]["total_sec"]
+            + codec["hi"]["total_sec"],
             "unit": "sec",
-            "queries": {**rel["hi"]["timings"], **ker["hi"]["timings"]},
+            "queries": {
+                **rel["hi"]["timings"],
+                **ker["hi"]["timings"],
+                **codec["hi"]["timings"],
+            },
             "sf": float(sf),
             "scaling": {
                 "relational": rel,
                 "kernels": ker,
-                "efficiency": min(rel["efficiency"], ker["efficiency"]),
+                "codec": codec,
+                "efficiency": min(
+                    rel["efficiency"], ker["efficiency"], codec["efficiency"]
+                ),
             },
         }
         print(json.dumps(out))
-        _write_bench_md(rel, ker, sf_dir)
+        _write_bench_md(rel, ker, sf_dir, codec=codec)
         return
 
     result = one_run(cpus, sf_dir)
@@ -399,7 +409,7 @@ def main():
     print(json.dumps(out))
 
 
-def _write_bench_md(rel, ker, sf_dir):
+def _write_bench_md(rel, ker, sf_dir, codec=None):
     def table(res, queries):
         lines = [
             "| config | total (s) | " + " | ".join(f"{q} (s)" for q in queries) + " |",
@@ -419,9 +429,11 @@ def _write_bench_md(rel, ker, sf_dir):
         "# BENCH — throughput + scaling evidence (north rule)",
         "",
         f"Derived corpus over `{sf_dir}`. Same job + same input per pair; "
-        "one untimed warmup pass then min-of-2 timed passes (steady state "
-        "on a noisy shared host — the regime a long-running 100 TB job "
-        "operates in).",
+        "one untimed warmup pass, then INTERLEAVED lo/hi rounds with "
+        "per-query minima (steady state on a noisy shared host — the "
+        "regime a long-running 100 TB job operates in; sequential "
+        "per-config measurement biases whichever config hits the quiet "
+        "window).",
         "",
         "## Relational suite (pure JVM whole-stage codegen)",
         "",
@@ -452,6 +464,28 @@ def _write_bench_md(rel, ker, sf_dir):
         f"Speedup {ker['cores'][0]}->{ker['cores'][1]}: **{ker['speedup']}x** / "
         f"{int(ker['core_ratio'])}x cores -> efficiency **{ker['efficiency']}**.",
         "",
+        *(
+            [
+                "## MVT codec suite (protobuf decode -> shave -> re-encode)",
+                "",
+                f"End-to-end tile pipeline over x{codec['replicate']} synthetic "
+                f"~50-feature tiles ({codec['hi']['counts'].get('mvt_shave', '?')} "
+                "tiles; the sf fixture averages 49/tile). Python codec kernels "
+                "at the edges, Catalyst shave in the middle — the suite whose "
+                "tiles/s compares to the reference CI gate (>= 1000/s).",
+                "",
+                *table(codec, list(codec["hi"]["timings"].keys())),
+                "",
+                f"Speedup {codec['cores'][0]}->{codec['cores'][1]}: "
+                f"**{codec['speedup']}x** / {int(codec['core_ratio'])}x cores "
+                f"-> efficiency **{codec['efficiency']}**. Tiles/s at "
+                f"local[{codec['cores'][1]}]: "
+                f"{round(codec['hi']['counts'].get('mvt_shave', 0) / max(codec['hi']['timings'].get('mvt_shave', 1), 1e-9), 1)}.",
+                "",
+            ]
+            if codec
+            else []
+        ),
         "North-rule criterion: throughput scaling efficiency >= 0.8 between "
         "N and 4N executors. The single-JVM local-mode proxy shares one "
         "memory bus and driver across all 'executors'; real clusters add "
