@@ -562,6 +562,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_meta"] = multimodal_meta
 
+    def events_window_rollup(spark, sf_dir):
+        # temporal tumbling-window rollup over the event stream table —
+        # the batch counterpart of the streaming watermark rollups
+        # (streaming/shave_stream.py), with per-window distincts and a
+        # JSON-ish property extraction kept JVM-side (regexp, no UDF)
+        register_views(spark, sf_dir)
+        e = spark.table("events")
+        k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+        return (
+            e.withColumn("_k", k)
+            .groupBy(
+                F.window("ts", "1 hour").getField("start").alias("wstart"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+                F.sum("_k").alias("sum_k"),
+            )
+        )
+
+    q["events_window_rollup"] = events_window_rollup
+
+    def region_revenue(spark, sf_dir):
+        # general relational layer: 5-way star join (broadcast dims) +
+        # decimal-exact revenue rollup per region. Written with the
+        # DataFrame API (not spark.sql) so the oracle is an independent
+        # restatement, and revenue is summed as DECIMAL(18,2) so the
+        # aggregate is associativity-exact across engines.
+        register_views(spark, sf_dir)
+        li = spark.table("lineitem")
+        orders = spark.table("orders")
+        cust = spark.table("customer")
+        nation = spark.table("nation")
+        region = spark.table("region")
+        # decimal-exact money math: casting the operands FIRST makes
+        # the multiply/sum associativity-free; a double-side round()
+        # diverges between engines on .xx5 boundary representations
+        rev = (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+        )
+        return (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy(F.col("r_name").alias("region_name"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(rev).cast("decimal(38,6)").alias("revenue"),
+            )
+        )
+
+    q["region_revenue"] = region_revenue
+
     return q
 
 
@@ -942,6 +999,30 @@ scored AS (
 )
 SELECT id_a, id_b, ROUND(cos, 6) AS cos_r
 FROM scored WHERE cos >= 0.3
+"""
+
+    o["region_revenue"] = """
+SELECT r_name AS region_name,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+    o["events_window_rollup"] = """
+SELECT date_trunc('hour', ts) AS wstart,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 6) AS sum_value,
+       CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1, 2
 """
 
     # w/h formulas mirror generate_image_bytes: int.from_bytes of the
