@@ -619,6 +619,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["region_revenue"] = region_revenue
 
+    def user_sessions(spark, sf_dir):
+        # gap-based sessionization (lag + cumulative sum, one shuffle
+        # on the user key) — the batch counterpart of the custom
+        # stateful streaming sessionizer (streaming/stateful.py)
+        from vtshaver_spark.operators.sessions import session_rollup
+
+        register_views(spark, sf_dir)
+        return session_rollup(spark.table("events"), gap_minutes=30)
+
+    q["user_sessions"] = user_sessions
+
     return q
 
 
@@ -1012,6 +1023,29 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name
+"""
+
+    o["user_sessions"] = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s2 AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s2 GROUP BY 1, 2
 """
 
     o["events_window_rollup"] = """

@@ -376,3 +376,49 @@ def test_size_regression_properties_style(spark):
         buf = f.read()
     out = _shave_and_encode(spark, buf, style, zoom=14)
     assert len(out) == 6609  # exact reference pin
+
+
+def test_bright_v9_end_to_end(spark, sf_rows):
+    # the reference's bench style class: a real multi-layer style with
+    # legacy in/!in/== filters compiled and executed over the real
+    # tile, shaved output re-encoded. Census: only styled layers with
+    # matching features survive (landuse, road, water from the sf
+    # tile's 7 layers).
+    style = json.load(
+        open("/root/reference/test/fixtures/styles/bright-v9.json")
+    )
+    out = _shave_fixture(spark, sf_rows, style, zoom=15).collect()
+    by_layer = {}
+    for r in out:
+        by_layer[r["layer"]] = by_layer.get(r["layer"], 0) + 1
+    assert set(by_layer) <= {"landuse", "road", "water", "waterway"}
+    assert by_layer.get("water") == 3  # keep-all water layer
+    assert by_layer.get("landuse") == 3  # park/wood/grass classes match
+    # bright-v9 keeps only TUNNEL roads (motorway_link/secondary/
+    # tertiary under ["==","structure","tunnel"]); the sf tile has no
+    # tunnels, so zero road survivors is the correct census
+    assert "road" not in by_layer
+    # re-encode the survivors: valid MVT, layers match
+    blob = rows_to_tile(
+        [
+            {
+                "layer": r["layer"], "feature_id": r["feature_id"],
+                "geom_type": r["geom_type"], "geometry": b"",
+                "props": r["props"], "prop_types": {},
+            }
+            for r in out
+        ]
+    )
+    again = tile_to_rows(blob)
+    assert {r["layer"] for r in again} == set(by_layer)
+
+
+def test_expressions_style_end_to_end(spark, sf_rows):
+    # expressions.json: the style the reference's CI throughput gate
+    # runs (bench/bench-batch.js:48-56) — expression-syntax filters
+    # over the real tile
+    style = json.load(
+        open("/root/reference/test/fixtures/styles/expressions.json")
+    )
+    out = _shave_fixture(spark, sf_rows, style, zoom=16).collect()
+    assert len(out) > 0

@@ -38,3 +38,52 @@ def test_stream_dedup(spark, tmp_path):
     q.stop()
     emitted = [r["doc_id"] for r in rows]
     assert sorted(emitted) == ["a", "b", "c"]  # each key exactly once
+
+
+def test_stream_sessionize(spark, tmp_path):
+    import datetime as dt
+
+    from vtshaver_spark.streaming.stateful import stream_sessionize
+
+    src = str(tmp_path / "sess_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(user, minutes, value):
+        return (user, t0 + dt.timedelta(minutes=minutes), value)
+
+    schema = "user_id long, ts timestamp, value double"
+    # batch 1: user 1 has two events 5 min apart (one session so far)
+    spark.createDataFrame(
+        [row(1, 0, 1.0), row(1, 5, 2.0), row(2, 0, 5.0)], schema
+    ).write.parquet(src + "/f1")
+    # batch 2: user 1 returns 90 min later -> closes session #1
+    spark.createDataFrame(
+        [row(1, 95, 3.0), row(2, 10, 5.0)], schema
+    ).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    q = (
+        stream_sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(timeout=180)
+    assert q.exception() is None
+    rows = spark.sql(
+        "SELECT user_id, n_events, sum_value FROM sess_out"
+    ).collect()
+    q.stop()
+    # exactly one CLOSED session: user 1's first (2 events, 1.0+2.0);
+    # user 2's events are 10 min apart (still open), user 1's third
+    # event opened a new session (still open)
+    assert [(r["user_id"], r["n_events"], r["sum_value"]) for r in rows] == [
+        (1, 2, 3.0)
+    ]

@@ -58,3 +58,25 @@ def test_stream_shave(spark, tmp_path):
     rows = spark.sql("SELECT * FROM layer_counts").collect()
     q2.stop()
     assert {(r["layer"], r["count"]) for r in rows} == {("poi_label", 1)}
+
+
+def test_batch_sessionize_golden(spark):
+    import datetime as dt
+
+    from vtshaver_spark.operators.sessions import session_rollup
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=10), 2.0),
+        (1, t0 + dt.timedelta(minutes=50), 4.0),   # > 30min gap -> new session
+        (2, t0, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["sum_value"])
+        for r in session_rollup(df, gap_minutes=30).collect()
+    }
+    assert out[(1, 0)] == (2, 3.0)
+    assert out[(1, 1)] == (1, 4.0)
+    assert out[(2, 0)] == (1, 8.0)

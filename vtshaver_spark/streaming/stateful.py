@@ -74,3 +74,84 @@ def stream_dedup(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+def stream_sessionize(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Streaming gap-based sessionization (applyInPandasWithState):
+    per-user state carries the OPEN session (start, last event time,
+    count, sum); a session is emitted when a later event arrives past
+    the gap. The stream's micro-batches are processed in event-time
+    order WITHIN each group's batch (sorted here); an event older than
+    the open session's last timestamp extends that session (late data
+    folds in rather than forking history). Open sessions at stream end
+    remain in state — drain them with the batch ``session_rollup`` on
+    the final day's data, the standard lambda-less handoff.
+    """
+    import pandas as pd
+
+    gap_s = gap_minutes * 60.0
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("sv", T.DoubleType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (user,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                v = float(val)
+                if cur is None:
+                    cur = [us, us, 1, v]
+                elif us - cur[1] > gap_s * 1_000_000:
+                    closed.append(tuple(cur))
+                    cur = [us, us, 1, v]
+                else:
+                    cur[1] = max(cur[1], us)
+                    cur[2] += 1
+                    cur[3] += v
+        if cur is not None:
+            state.update(tuple(cur))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [user] * len(closed),
+                    "session_start": [pd.Timestamp(c[0] * 1000) for c in closed],
+                    "session_end": [pd.Timestamp(c[1] * 1000) for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "sum_value": [c[3] for c in closed],
+                }
+            )
+
+    return stream_df.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
