@@ -422,3 +422,50 @@ def test_expressions_style_end_to_end(spark, sf_rows):
     )
     out = _shave_fixture(spark, sf_rows, style, zoom=16).collect()
     assert len(out) > 0
+
+
+def test_decode_geometry_real_tile(sf_rows):
+    from vtshaver_spark.sources.mvt import decode_geometry, tile_px_to_lonlat
+
+    poi = [r for r in sf_rows if r["layer"] == "poi_label"]
+    named = {r["props"].get("name"): r for r in poi}
+    # Sutro Baths is a real SF landmark at Lands End (~-122.514, 37.780)
+    paths = decode_geometry(named["Sutro Baths"]["geometry"])
+    assert len(paths) == 1 and len(paths[0]) == 1
+    lon, lat = tile_px_to_lonlat(
+        16, 10465, 25329, *paths[0][0], named["Sutro Baths"]["layer_extent"]
+    )
+    assert abs(lon - -122.5137) < 0.001 and abs(lat - 37.7802) < 0.001
+    # polygons decode to closed rings
+    water = [r for r in sf_rows if r["layer"] == "water"][0]
+    rings = decode_geometry(water["geometry"])
+    assert rings and all(p[0] == p[-1] for p in rings)
+
+
+def test_decode_tile_points_spark(spark):
+    from vtshaver_spark.sources.mvt import decode_tile_points
+
+    with open(SF_TILE, "rb") as f:
+        blob = f.read()
+    tiles = spark.createDataFrame(
+        [(16, 10465, 25329, bytearray(blob))],
+        "z int, x bigint, y bigint, tile binary",
+    )
+    pts = decode_tile_points(tiles)
+    poi = pts.filter(pts.layer == "poi_label")
+    assert poi.count() == 13  # one vertex per point feature
+    bounds = poi.agg(
+        F.min("lon"), F.max("lon"), F.min("lat"), F.max("lat")
+    ).collect()[0]
+    # all poi inside the z16 tile footprint (~0.0055 deg wide)
+    assert -122.53 < bounds[0] and bounds[1] < -122.50
+    assert 37.77 < bounds[2] and bounds[3] < 37.79
+
+
+def test_decode_geometry_malformed():
+    from vtshaver_spark.sources.mvt import decode_geometry
+
+    with pytest.raises(MVTError, match="LineTo"):
+        decode_geometry(bytes([0x09, 0x00, 0x00, 0x12, 0x02]))  # truncated
+    with pytest.raises(MVTError, match="unknown geometry command"):
+        decode_geometry(bytes([0x0B]))  # op=3

@@ -463,3 +463,120 @@ def encode_tiles_mvt(
         return pd.DataFrame([rec])
 
     return df.groupBy(*tile_cols).applyInPandas(enc, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# geometry command-stream decoding (public spec §4.3: MoveTo=1,
+# LineTo=2, ClosePath=7; zigzag-encoded deltas in tile-local integer
+# coordinates). Shaving never needs this — it exists so decoded tiles
+# feed the spatial operators (PIP, kNN, tile re-assignment) directly.
+# ---------------------------------------------------------------------------
+
+def decode_geometry(geom: bytes) -> list:
+    """Packed command bytes -> list of rings/paths, each a list of
+    (x, y) integer tile coordinates. Points yield one path per MoveTo
+    batch; ClosePath repeats the ring's first vertex."""
+    cmds: list[int] = []
+    pos = 0
+    end = len(geom)
+    while pos < end:
+        v, pos = _read_varint(geom, pos, end)
+        cmds.append(v)
+    paths: list[list] = []
+    cur: list = []
+    x = y = 0
+    i = 0
+    n = len(cmds)
+    while i < n:
+        cmd = cmds[i]
+        op, count = cmd & 0x7, cmd >> 3
+        i += 1
+        if op == 1:  # MoveTo
+            for _ in range(count):
+                if i + 1 >= n:
+                    raise MVTError("truncated MoveTo parameters")
+                dx, dy = cmds[i], cmds[i + 1]
+                i += 2
+                x += (dx >> 1) ^ -(dx & 1)
+                y += (dy >> 1) ^ -(dy & 1)
+                if cur:
+                    paths.append(cur)
+                cur = [(x, y)]
+        elif op == 2:  # LineTo
+            for _ in range(count):
+                if i + 1 >= n:
+                    raise MVTError("truncated LineTo parameters")
+                dx, dy = cmds[i], cmds[i + 1]
+                i += 2
+                x += (dx >> 1) ^ -(dx & 1)
+                y += (dy >> 1) ^ -(dy & 1)
+                cur.append((x, y))
+        elif op == 7:  # ClosePath
+            if cur:
+                cur.append(cur[0])
+        else:
+            raise MVTError(f"unknown geometry command {op}")
+    if cur:
+        paths.append(cur)
+    return paths
+
+
+def tile_px_to_lonlat(z: int, x: int, y: int, px: float, py: float, extent: int = 4096):
+    """Tile-local integer coords -> (lon, lat) via Web Mercator."""
+    import math
+
+    n = 1 << z
+    gx = (x + px / extent) / n
+    gy = (y + py / extent) / n
+    lon = gx * 360.0 - 180.0
+    lat = math.degrees(math.atan(math.sinh(math.pi * (1.0 - 2.0 * gy))))
+    return lon, lat
+
+
+def decode_tile_points(df, tile_col: str = "tile", carry_cols: tuple = ("z", "x", "y")):
+    """Explode MVT blobs into one row per geometry VERTEX with lon/lat
+    (Point features contribute their point; lines/polygons their
+    vertices) — the bridge from the wire format to the engine's
+    point-based spatial operators."""
+    import pandas as pd
+
+    carry = [c for c in carry_cols if c in df.columns]
+    schema = (
+        "z int, x bigint, y bigint, layer string, feature_id bigint, "
+        "geom_type string, path_idx int, vertex_idx int, "
+        "lon double, lat double"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            cols: dict = {
+                k: []
+                for k in (
+                    "z", "x", "y", "layer", "feature_id", "geom_type",
+                    "path_idx", "vertex_idx", "lon", "lat",
+                )
+            }
+            for zt, xt, yt, blob in zip(
+                pdf["z"].tolist(), pdf["x"].tolist(), pdf["y"].tolist(),
+                pdf[tile_col].tolist(),
+            ):
+                for r in tile_to_rows(bytes(blob)):
+                    paths = decode_geometry(r["geometry"]) if r["geometry"] else []
+                    extent = r["layer_extent"] or 4096
+                    for pi, path in enumerate(paths):
+                        for vi, (px, py) in enumerate(path):
+                            lon, lat = tile_px_to_lonlat(zt, xt, yt, px, py, extent)
+                            cols["z"].append(zt)
+                            cols["x"].append(xt)
+                            cols["y"].append(yt)
+                            cols["layer"].append(r["layer"])
+                            cols["feature_id"].append(r["feature_id"])
+                            cols["geom_type"].append(r["geom_type"])
+                            cols["path_idx"].append(pi)
+                            cols["vertex_idx"].append(vi)
+                            cols["lon"].append(lon)
+                            cols["lat"].append(lat)
+            if cols["layer"]:
+                yield pd.DataFrame(cols)
+
+    return df.select(*carry, tile_col).mapInPandas(kernel, schema=schema)
