@@ -469,3 +469,24 @@ def test_decode_geometry_malformed():
         decode_geometry(bytes([0x09, 0x00, 0x00, 0x12, 0x02]))  # truncated
     with pytest.raises(MVTError, match="unknown geometry command"):
         decode_geometry(bytes([0x0B]))  # op=3
+
+
+def test_mvt_features_udtf(spark):
+    # SQL-surface access to the codec: LATERAL mvt_features(tile)
+    from vtshaver_spark.sources.mvt import register_sql_functions
+
+    register_sql_functions(spark)
+    with open(SF_TILE, "rb") as f:
+        blob = f.read()
+    spark.createDataFrame(
+        [(16, 10465, 25329, bytearray(blob))],
+        "z int, x bigint, y bigint, tile binary",
+    ).createOrReplaceTempView("_udtf_tiles")
+    out = {
+        r["layer"]: r["n"]
+        for r in spark.sql(
+            "SELECT f.layer, count(*) AS n "
+            "FROM _udtf_tiles, LATERAL mvt_features(tile) f GROUP BY f.layer"
+        ).collect()
+    }
+    assert out["poi_label"] == 13 and len(out) == 7
