@@ -277,6 +277,10 @@ def cosine_near_dups(
             F.array(*[F.col("_bucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("_bucket"),
     )
+    # No distinct needed: for any set of DISTINCT probe masks, a pair
+    # (a, b) matches exactly one mask (m = bucket_a XOR bucket_b), so
+    # the join emits each candidate once — a distinct here would
+    # shuffle full embedding vectors per pair for nothing.
     cand = (
         probes.join(
             v.select(
@@ -288,7 +292,6 @@ def cosine_near_dups(
         )
         .filter(F.col("_ida") < F.col("_idb"))
         .select("_ida", "_idb", "_va", "_vb")
-        .distinct()
     )
     return (
         cand.withColumn("cos", cosine_pairs_fast(F.col("_va"), F.col("_vb")))
