@@ -216,7 +216,7 @@ def _compile_legacy(filt: Any, ctx: FilterContext) -> Column:
         key, value = filt[1], filt[2]
         lhs = _legacy_key_col(key, ctx)
         if key == "$type":
-            eq = lhs == F.lit(value)
+            eq = F.coalesce(lhs == F.lit(value), F.lit(False))
             if op == "==":
                 return eq
             if op == "!=":
@@ -231,17 +231,23 @@ def _compile_legacy(filt: Any, ctx: FilterContext) -> Column:
             rhs = F.lit(float(value))
         else:
             rhs = F.lit(value)
+        # absent key (or type-mismatch cast -> NULL) is FALSE for ==
+        # and ordered comparisons, TRUE only for != (GL truth tables).
+        # A bare Column comparison yields NULL instead, which is
+        # indistinguishable from false under a top-level filter() but
+        # WRONG once negated inside none/!/any (caught by the
+        # property-based truth-table net).
         if op == "==":
-            return lhs == rhs
+            return F.coalesce(lhs == rhs, F.lit(False))
         if op == "!=":
             return ~lhs.eqNullSafe(rhs)  # absent key => true
         if op == "<":
-            return lhs < rhs
+            return F.coalesce(lhs < rhs, F.lit(False))
         if op == "<=":
-            return lhs <= rhs
+            return F.coalesce(lhs <= rhs, F.lit(False))
         if op == ">":
-            return lhs > rhs
-        return lhs >= rhs
+            return F.coalesce(lhs > rhs, F.lit(False))
+        return F.coalesce(lhs >= rhs, F.lit(False))
 
     if op in ("in", "!in"):
         if len(filt) < 2 or not isinstance(filt[1], str):
