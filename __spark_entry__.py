@@ -630,6 +630,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["user_sessions"] = user_sessions
 
+    def shave_summary(spark, sf_dir):
+        # tile_layer_summary: the row-set census form the reference's
+        # tests assert on (layer names + feature counts + property key
+        # sets per tile)
+        from vtshaver_spark.operators.shave import tile_layer_summary
+
+        register_views(spark, sf_dir)
+        df = features_with_props(spark)
+        filters = Filters(style_to_filters(PROJECTION_STYLE))
+        out = tile_layer_summary(shave(df, filters, zoom=16, maxzoom=16))
+        return out.select(
+            "z", "x", "y", "layer", "feature_count",
+            F.array_join("property_keys", ",").alias("keys_csv"),
+        )
+
+    q["shave_summary"] = shave_summary
+
+    def token_budget(spark, sf_dir):
+        # BPE-ish subword proxy (deterministic stand-in for a real
+        # tokenizer's budget accounting)
+        from vtshaver_spark.functions.text import bpe_ish_token_count
+
+        register_views(spark, sf_dir)
+        return spark.table("documents").select(
+            "doc_id", bpe_ish_token_count(F.col("text")).alias("n_subwords")
+        )
+
+    q["token_budget"] = token_budget
+
     return q
 
 
@@ -1023,6 +1052,30 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name
+"""
+
+    o["shave_summary"] = _oracle(f"""
+SELECT z, x, y, layer, COUNT(*) AS feature_count,
+  CASE WHEN layer = 'road' THEN concat_ws(',',
+    CASE WHEN MAX(CASE WHEN oneway IS NOT NULL THEN 1 ELSE 0 END) = 1 THEN 'oneway' END,
+    CASE WHEN MAX(CASE WHEN structure IS NOT NULL THEN 1 ELSE 0 END) = 1 THEN 'structure' END,
+    CASE WHEN MAX(CASE WHEN type IS NOT NULL THEN 1 ELSE 0 END) = 1 THEN 'type' END)
+  ELSE concat_ws(',',
+    CASE WHEN MAX(CASE WHEN filterrank IS NOT NULL THEN 1 ELSE 0 END) = 1 THEN 'filterrank' END,
+    CASE WHEN MAX(CASE WHEN maki IS NOT NULL THEN 1 ELSE 0 END) = 1 THEN 'maki' END)
+  END AS keys_csv
+FROM features_v
+WHERE layer IN ('road', 'poi_label') AND {GEOM_OK}
+GROUP BY z, x, y, layer
+""")
+
+    o["token_budget"] = """
+SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(
+              regexp_extract_all(text, '[A-Za-z0-9]+'),
+              t -> CAST(ceil(length(t) / 4.0) AS INT))), 0)
+            + length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g')) AS INT) AS n_subwords
+FROM documents
 """
 
     o["user_sessions"] = """

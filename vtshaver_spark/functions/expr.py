@@ -107,7 +107,14 @@ def filter_to_column(filt: Any, ctx: FilterContext) -> Column:
 
     The returned predicate treats SQL NULL as "drop" (Spark's
     ``DataFrame.filter`` already does), matching GL's
-    evaluation-error -> false behavior.
+    evaluation-error -> false behavior at the TOP level. Known
+    divergence (documented, not planned): mbgl aborts the whole
+    filter on the FIRST evaluation error, so ``["any", <error>,
+    true]`` is false there; NULL-propagation gives true here because
+    OR(NULL, true) = true. Faithful emulation needs a tri-state
+    (value, is_error) pair per subexpression — not worth it for
+    filters that are type-errors to begin with. Legacy-syntax truth
+    tables are exact (property-tested).
     """
     if filt is True or filt is None:
         return F.lit(True)
