@@ -179,11 +179,16 @@ PROJECTION_STYLE = {
 
 
 def _shave_query(style: dict, zoom: float, maxzoom, out_cols):
+    """out_cols may be a list of Columns or a zero-arg callable
+    returning one — the callable form defers Column construction so
+    ``queries()`` itself never needs an active SparkContext."""
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
         df = features_with_props(spark)
         filters = Filters(style_to_filters(style))
-        return shave(df, filters, zoom=zoom, maxzoom=maxzoom).select(*out_cols)
+        cols = out_cols() if callable(out_cols) else out_cols
+        return shave(df, filters, zoom=zoom, maxzoom=maxzoom).select(*cols)
 
     return run
 
@@ -222,7 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- shave pipeline (O1-O19) -----------------------------------------
     q["shave_cafe"] = _shave_query(
         CAFE_STYLE, 16, 16,
-        [
+        lambda: [
             F.col("feature_id"),
             F.col("layer"),
             F.col("props")["maki"].alias("maki"),
@@ -230,27 +235,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["shave_negation"] = _shave_query(
         NEGATION_STYLE, 16, 16,
-        [F.col("feature_id"), F.col("maki")],
+        lambda: [F.col("feature_id"), F.col("maki")],
     )
     q["shave_membership"] = _shave_query(
         MEMBERSHIP_STYLE, 16, 16,
-        [F.col("feature_id"), F.col("layer"), F.col("class")],
+        lambda: [F.col("feature_id"), F.col("layer"), F.col("class")],
     )
     q["shave_zoom_overzoom"] = _shave_query(
         ZOOM_STYLE, 16, 16,
-        [F.col("feature_id"), F.col("layer")],
+        lambda: [F.col("feature_id"), F.col("layer")],
     )
     q["shave_expression_roads"] = _shave_query(
         EXPRESSION_ROAD_STYLE, 16, 16,
-        [F.col("feature_id"), F.col("class"), F.col("structure")],
+        lambda: [F.col("feature_id"), F.col("class"), F.col("structure")],
     )
     q["shave_match_landuse"] = _shave_query(
         MATCH_LANDUSE_STYLE, 16, 16,
-        [F.col("feature_id"), F.col("class")],
+        lambda: [F.col("feature_id"), F.col("class")],
     )
     q["shave_property_projection"] = _shave_query(
         PROJECTION_STYLE, 16, 16,
-        [
+        lambda: [
             F.col("feature_id"),
             F.col("layer"),
             F.array_join(F.array_sort(F.map_keys(F.col("props"))), ",").alias(
