@@ -490,3 +490,22 @@ def test_mvt_features_udtf(spark):
         ).collect()
     }
     assert out["poi_label"] == 13 and len(out) == 7
+
+
+def test_decode_tiles_on_error_skip(spark):
+    with open(SF_TILE, "rb") as f:
+        good = f.read()
+    tiles = spark.createDataFrame(
+        [
+            (16, 1, 1, bytearray(good)),
+            (16, 2, 2, bytearray(b"\x1a\xff")),  # corrupt
+        ],
+        "z int, x bigint, y bigint, tile binary",
+    )
+    # default: the corrupt blob fails the job
+    with pytest.raises(Exception):
+        decode_tiles(tiles).count()
+    # skip mode: good tile decodes, corrupt one is dropped
+    out = decode_tiles(tiles, on_error="skip")
+    assert out.count() == 58
+    assert out.select("x").distinct().collect()[0]["x"] == 1

@@ -375,11 +375,25 @@ MVT_ROW_SCHEMA = (
 )
 
 
-def decode_tiles(df, tile_col: str = "tile", carry_cols: tuple = ("z", "x", "y")):
+def decode_tiles(
+    df,
+    tile_col: str = "tile",
+    carry_cols: tuple = ("z", "x", "y"),
+    on_error: str = "fail",
+):
     """Explode a DataFrame of MVT blobs into feature rows
     (mapInPandas; gzip sniffed per blob). ``carry_cols`` pass through
-    to every emitted feature row."""
+    to every emitted feature row.
+
+    ``on_error``: "fail" raises on the first malformed blob (the
+    reference's decode-must-error contract); "skip" drops corrupt
+    tiles and keeps going — at fleet scale one bad object must not
+    kill a 10^6-task job (count skips by anti-joining the output's
+    tile keys against the input)."""
     import pandas as pd
+
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
 
     carry = [c for c in carry_cols if c in df.columns]
     carry_schema = ", ".join(
@@ -399,7 +413,12 @@ def decode_tiles(df, tile_col: str = "tile", carry_cols: tuple = ("z", "x", "y")
             cols: dict = {c: [] for c in (*carry, *row_fields)}
             carry_series = [pdf[c].tolist() for c in carry]
             for i, blob in enumerate(pdf[tile_col].tolist()):
-                rows = tile_to_rows(bytes(blob))
+                try:
+                    rows = tile_to_rows(bytes(blob))
+                except MVTError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 for c, series in zip(carry, carry_series):
                     cols[c].extend([series[i]] * len(rows))
                 for fld in row_fields:
