@@ -618,7 +618,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy(F.col("r_name").alias("region_name"))
             .agg(
                 F.count(F.lit(1)).alias("n_items"),
-                F.sum(rev).cast("decimal(38,6)").alias("revenue"),
+                # canonical STRING rendering of the exact decimal: both
+                # Spark and DuckDB print DECIMAL(38,6) with the full
+                # 6-digit scale, so the driver's value hasher sees
+                # identical bytes (r2: hash diverged on Decimal objects)
+                F.sum(rev).cast("decimal(38,6)").cast("string").alias("revenue"),
             )
         )
 
@@ -631,7 +635,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from vtshaver_spark.operators.sessions import session_rollup
 
         register_views(spark, sf_dir)
-        return session_rollup(spark.table("events"), gap_minutes=30)
+        out = session_rollup(spark.table("events"), gap_minutes=30)
+        # canonical microsecond-string timestamps: Spark date_format and
+        # DuckDB strftime render 'YYYY-MM-DD HH:MM:SS.ffffff' identically,
+        # so the driver's hasher compares bytes, not engine-native
+        # datetime objects (r2: hash diverged on timestamp normalization)
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        return out.select(
+            "user_id", "session_idx",
+            F.date_format("session_start", fmt).alias("session_start"),
+            F.date_format("session_end", fmt).alias("session_end"),
+            "n_events", "sum_value",
+        )
 
     q["user_sessions"] = user_sessions
 
@@ -1049,8 +1064,8 @@ FROM scored WHERE cos >= 0.3
     o["region_revenue"] = """
 SELECT r_name AS region_name,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1099,8 +1114,8 @@ s2 AS (
   FROM s
 )
 SELECT user_id, session_idx,
-       MIN(ts) AS session_start,
-       MAX(ts) AS session_end,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
        COUNT(*) AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM s2 GROUP BY 1, 2

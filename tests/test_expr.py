@@ -246,8 +246,29 @@ def test_interpolate_exponential(spark):
 
 
 def test_interpolate_hcl_numeric_is_linear(spark):
-    filt = ["==", ["interpolate-hcl", ["get", "x"], 0, 0, 10, 100], 50]
+    # spec form carries the interpolation type tag at position 1, same
+    # as plain "interpolate" (GL style-spec; ADVICE r2)
+    filt = ["==", ["interpolate-hcl", ["linear"], ["get", "x"], 0, 0, 10, 100], 50]
     assert _eval_expr(spark, filt, {"x": "5"})
+
+
+def test_interpolate_lab_exponential_tag(spark):
+    # exponential tag flows through the color-space form too
+    filt = [
+        "==",
+        ["interpolate-lab", ["exponential", 2], ["get", "x"], 0, 0, 4, 30],
+        6,
+    ]
+    assert _eval_expr(spark, filt, {"x": "2"})
+
+
+def test_interpolate_hcl_validates_without_session():
+    # validator must skip the type tag (not treat 'linear' as an op)
+    from vtshaver_spark.functions.expr import validate_filter
+
+    validate_filter(
+        ["==", ["interpolate-hcl", ["linear"], ["zoom"], 0, 0, 10, 1], 1]
+    )
 
 
 def test_rendering_context_ops_null_not_error(spark):

@@ -495,17 +495,36 @@ def test_mvt_features_udtf(spark):
 def test_decode_tiles_on_error_skip(spark):
     with open(SF_TILE, "rb") as f:
         good = f.read()
+    # a layer whose name bytes are invalid UTF-8
+    bad_utf8 = bytes([0x1A, 0x04, 0x0A, 0x02, 0xFF, 0xFE])
     tiles = spark.createDataFrame(
         [
             (16, 1, 1, bytearray(good)),
-            (16, 2, 2, bytearray(b"\x1a\xff")),  # corrupt
+            (16, 2, 2, bytearray(b"\x1a\xff")),  # corrupt protobuf
+            # truncated gzip: magic bytes then garbage — the common
+            # real-world corruption (ADVICE r2)
+            (16, 3, 3, bytearray(b"\x1f\x8b\x08\x00trunc")),
+            (16, 4, 4, bytearray(gzip.compress(good)[:-7])),  # cut tail
+            (16, 5, 5, bytearray(bad_utf8)),  # invalid UTF-8 strings
         ],
         "z int, x bigint, y bigint, tile binary",
     )
-    # default: the corrupt blob fails the job
+    # default: any corrupt blob fails the job
     with pytest.raises(Exception):
         decode_tiles(tiles).count()
-    # skip mode: good tile decodes, corrupt one is dropped
+    # skip mode: good tile decodes, all corruption classes are dropped
     out = decode_tiles(tiles, on_error="skip")
     assert out.count() == 58
     assert out.select("x").distinct().collect()[0]["x"] == 1
+
+
+def test_tile_to_rows_gzip_corruption_is_mvterror():
+    # gzip/UTF-8 failures surface as MVTError (single exception type
+    # for the decode-must-error contract AND the skip path)
+    for blob in (
+        b"\x1f\x8b\x08\x00trunc",
+        gzip.compress(b"not a tile")[:-3],
+        bytes([0x1A, 0x04, 0x0A, 0x02, 0xFF, 0xFE]),
+    ):
+        with pytest.raises(MVTError):
+            tile_to_rows(blob)

@@ -565,18 +565,27 @@ class _Expr:
 
     def _interpolate_color_space(self, e: list):
         """interpolate-hcl / interpolate-lab: color-space interpolation
-        between (typically color) stop outputs. Numeric outputs
-        evaluate as linear (identical in any space); color-string
-        outputs degrade to the lower stop's value (nearest-stop) —
-        documented approximation so mbgl-valid styles never hard-error
-        here."""
-        if len(e) < 4:
-            raise FilterError("'interpolate' expects input and stops")
-        stops = e[2:]
+        between (typically color) stop outputs, spec form
+        ["interpolate-hcl", <type-tag>, input, stop, out, ...] — the
+        same signature as "interpolate" (type tag at e[1]). Numeric
+        outputs evaluate via the tagged interpolation (identical in any
+        color space); color-string outputs degrade to the lower stop's
+        value (nearest-stop) — documented approximation so mbgl-valid
+        styles never hard-error here."""
+        if len(e) < 5:
+            raise FilterError("'interpolate' expects type, input, stops")
+        itype = e[1]
+        if not isinstance(itype, list) or not itype or itype[0] not in (
+            "linear", "exponential", "cubic-bezier"
+        ):
+            raise FilterError(
+                "'interpolate' type must be linear/exponential/cubic-bezier"
+            )
+        stops = e[3:]
         out_tag = self.infer(stops[1]) if len(stops) > 1 else "value"
         if out_tag == "number":
-            return self._op_interpolate(["interpolate", ["linear"], *e[1:]])
-        input_col = self.as_number(e[1])
+            return self._op_interpolate(["interpolate", *e[1:]])
+        input_col = self.as_number(e[2])
         xs = [float(stops[i]) for i in range(0, len(stops), 2)]
         ys = [self.compile(stops[i + 1])[0] for i in range(0, len(stops), 2)]
         acc = F.when(input_col <= F.lit(xs[0]), ys[0])
@@ -1059,7 +1068,7 @@ class _ExprValidate(_Expr):
         skip = set()
         if op == "match":
             skip = set(range(2, len(e) - 1, 2))
-        elif op == "interpolate":
+        elif op in ("interpolate", "interpolate-hcl", "interpolate-lab"):
             skip = {1}  # the ["linear"]/["exponential", b] type tag
         for i, sub in enumerate(e[1:], start=1):
             if i in skip or isinstance(sub, dict):

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import gzip
 import struct
+import zlib
 from typing import Iterator, Optional
 
 GEOM_NAMES = {0: "Unknown", 1: "Point", 2: "LineString", 3: "Polygon"}
@@ -190,12 +191,22 @@ def tile_to_rows(buf: bytes) -> list[dict]:
     {key: value type tag}.
     """
     if is_gzipped(buf):
-        buf = gzip.decompress(buf)
+        # corrupt/truncated gzip is the most common real-world blob
+        # corruption — fold it into MVTError so the decode-must-error
+        # contract and decode_tiles(on_error='skip') share ONE
+        # exception type (ADVICE r2)
+        try:
+            buf = gzip.decompress(buf)
+        except (OSError, EOFError, zlib.error) as exc:
+            raise MVTError(f"corrupt gzip tile: {exc}") from exc
     rows: list[dict] = []
-    for field, wt, val, _ in _fields(buf, 0, len(buf)):
-        if field == 3 and wt == 2:
-            s, e = val
-            rows.extend(_decode_layer(buf, s, e))
+    try:
+        for field, wt, val, _ in _fields(buf, 0, len(buf)):
+            if field == 3 and wt == 2:
+                s, e = val
+                rows.extend(_decode_layer(buf, s, e))
+    except UnicodeDecodeError as exc:
+        raise MVTError(f"invalid UTF-8 in tile strings: {exc}") from exc
     return rows
 
 
@@ -552,14 +563,22 @@ def tile_px_to_lonlat(z: int, x: int, y: int, px: float, py: float, extent: int 
     return lon, lat
 
 
-def decode_tile_points(df, tile_col: str = "tile", carry_cols: tuple = ("z", "x", "y")):
+def decode_tile_points(df, tile_col: str = "tile"):
     """Explode MVT blobs into one row per geometry VERTEX with lon/lat
     (Point features contribute their point; lines/polygons their
     vertices) — the bridge from the wire format to the engine's
-    point-based spatial operators."""
+    point-based spatial operators.
+
+    Requires ``z``/``x``/``y`` tile-address columns: they are inputs
+    to the Web-Mercator vertex projection, not optional carry-through
+    (the former ``carry_cols`` parameter was a lie — ADVICE r2)."""
     import pandas as pd
 
-    carry = [c for c in carry_cols if c in df.columns]
+    missing = [c for c in ("z", "x", "y") if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"decode_tile_points requires tile-address columns z/x/y; missing {missing}"
+        )
     schema = (
         "z int, x bigint, y bigint, layer string, feature_id bigint, "
         "geom_type string, path_idx int, vertex_idx int, "
@@ -598,7 +617,7 @@ def decode_tile_points(df, tile_col: str = "tile", carry_cols: tuple = ("z", "x"
             if cols["layer"]:
                 yield pd.DataFrame(cols)
 
-    return df.select(*carry, tile_col).mapInPandas(kernel, schema=schema)
+    return df.select("z", "x", "y", tile_col).mapInPandas(kernel, schema=schema)
 
 
 def register_sql_functions(spark) -> None:
