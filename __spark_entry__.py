@@ -69,22 +69,9 @@ GEOFENCE = {
 
 def _within_parity_sql(polygon: dict, lon: str = "lon", lat: str = "lat") -> str:
     """Crossing-count parity (even-odd ray cast) for a literal GeoJSON
-    polygon — the SQL mirror of functions/expr._op_within."""
-    terms = []
-    for ring in polygon["coordinates"]:
-        pts = list(ring)
-        if pts[0] != pts[-1]:
-            pts.append(pts[0])
-        for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
-            if ay == by:
-                continue
-            slope = (bx - ax) / (by - ay)
-            terms.append(
-                f"CASE WHEN (({ay!r} > {lat}) <> ({by!r} > {lat})) "
-                f"AND {lon} < ({lat} - {ay!r}) * {slope!r} + {ax!r} "
-                f"THEN 1 ELSE 0 END"
-            )
-    return "(" + " + ".join(terms) + ") % 2 = 1"
+    polygon — the SQL mirror of functions/geo.point_in_polygon_col,
+    generated from the SAME edge enumeration."""
+    return geo.point_in_polygon_sql(polygon, lon=lon, lat=lat)
 
 
 # ---------------------------------------------------------------------------
@@ -332,6 +319,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return imgs.filter(pred).select("image_id", "lon", "lat")
 
     q["within_geofence"] = within_geofence
+
+    def within_full_geometry(spark, sf_dir):
+        # FULL-geometry GL ["within"] (mbgl semantics the reference
+        # inherits through src/filters.cpp:108-121): every vertex of
+        # the feature must be inside the donut geofence AND, for
+        # LineStrings, no segment may properly cross a boundary edge
+        # (clipping the hole's corner disqualifies a line whose
+        # vertices are all inside). Polygon/Unknown features are never
+        # within (GL spec scopes the op to point/line layers). Runs on
+        # the per-vertex view with codegen flag columns + ONE keyed
+        # shuffle (operators/within.py).
+        from vtshaver_spark.operators.within import feature_within
+
+        register_views(spark, sf_dir)
+        verts = spark.table("vertices_v")
+        return feature_within(
+            verts, GEOFENCE, keys=("feature_id", "layer")
+        ).select("feature_id", "layer", "geom_type", "within")
+
+    q["within_full_geometry"] = within_full_geometry
 
     # --- tiling / cells (G1, G2, G7) -------------------------------------
     def tile_assign(spark, sf_dir):
@@ -812,6 +819,34 @@ FROM s
 SELECT image_id, lon, lat
 FROM images_v
 WHERE lon IS NOT NULL AND lat IS NOT NULL AND ({_within_parity_sql(GEOFENCE)})
+""")
+
+    inside_sql = geo.point_in_polygon_sql(GEOFENCE, lon="lon", lat="lat")
+    cross_sql = geo.segment_crosses_sql(GEOFENCE, "lon", "lat", "nlon", "nlat")
+    o["within_full_geometry"] = _oracle(f"""
+, sv AS (
+  SELECT feature_id, layer, geom_type, lon, lat,
+         CASE WHEN {inside_sql} THEN 1 ELSE 0 END AS inside,
+         lead(lon) OVER w AS nlon,
+         lead(lat) OVER w AS nlat,
+         lead(path_idx) OVER w AS npath,
+         path_idx
+  FROM vertices_v
+  WINDOW w AS (PARTITION BY feature_id ORDER BY path_idx, vertex_idx)
+),
+ag AS (
+  SELECT feature_id, layer, geom_type,
+         MIN(inside) AS all_in,
+         MAX(CASE WHEN nlon IS NOT NULL AND npath = path_idx
+                       AND {cross_sql}
+                  THEN 1 ELSE 0 END) AS any_cross
+  FROM sv GROUP BY 1, 2, 3
+)
+SELECT feature_id, layer, geom_type,
+       CASE WHEN geom_type = 'Point' THEN all_in = 1
+            WHEN geom_type = 'LineString' THEN all_in = 1 AND any_cross = 0
+            ELSE FALSE END AS within
+FROM ag
 """)
 
     tx5 = geo.tile_x_sql("lon", 5)

@@ -1,0 +1,188 @@
+"""Full-geometry ``within`` semantics (operators/within.py).
+
+mbgl evaluates ``within`` over the whole feature geometry (the
+reference accepts the op through /root/reference/src/filters.cpp:108-121):
+all vertices inside, plus — for LineStrings — no segment properly
+crossing a polygon boundary edge. The boundary-crossing case (all
+vertices inside, segment clips a hole / concave notch) is exactly what
+a representative-point evaluation gets wrong.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vtshaver_spark.operators.within import feature_within, shave_within
+
+SF_TILE = "/root/reference/test/fixtures/tiles/sf_16_10465_25329.vector.pbf"
+
+# Donut: outer 0..10 box with a 4..6 hole.
+DONUT = {
+    "type": "Polygon",
+    "coordinates": [
+        [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]],
+        [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]],
+    ],
+}
+
+VERT_SCHEMA = (
+    "feature_id bigint, geom_type string, path_idx int, vertex_idx int, "
+    "lon double, lat double"
+)
+
+
+def _verdicts(spark, rows):
+    df = spark.createDataFrame(rows, VERT_SCHEMA)
+    out = feature_within(df, DONUT, keys=("feature_id",))
+    return {r["feature_id"]: r["within"] for r in out.collect()}
+
+
+def test_line_crossing_hole_not_within(spark):
+    # both vertices in the fill region, but the segment passes straight
+    # through the hole -> properly crosses two hole edges -> NOT within
+    rows = [
+        (1, "LineString", 0, 0, 3.0, 5.0),
+        (1, "LineString", 0, 1, 7.0, 5.0),
+    ]
+    assert _verdicts(spark, rows) == {1: False}
+
+
+def test_line_clipping_hole_corner_not_within(spark):
+    # diagonal that clips the hole's lower-left corner region (not
+    # exactly through the corner point — that would be a collinear
+    # touch, which proper-crossing excludes, as in mbgl)
+    rows = [
+        (2, "LineString", 0, 0, 3.5, 4.6),
+        (2, "LineString", 0, 1, 4.6, 3.5),
+    ]
+    assert _verdicts(spark, rows) == {2: False}
+
+
+def test_line_fully_inside_within(spark):
+    rows = [
+        (3, "LineString", 0, 0, 1.0, 1.0),
+        (3, "LineString", 0, 1, 2.0, 1.5),
+        (3, "LineString", 0, 2, 3.0, 3.0),
+    ]
+    assert _verdicts(spark, rows) == {3: True}
+
+
+def test_line_vertex_outside_not_within(spark):
+    rows = [
+        (4, "LineString", 0, 0, 1.0, 1.0),
+        (4, "LineString", 0, 1, 11.0, 1.0),
+    ]
+    assert _verdicts(spark, rows) == {4: False}
+
+
+def test_line_vertex_in_hole_not_within(spark):
+    rows = [
+        (5, "LineString", 0, 0, 1.0, 5.0),
+        (5, "LineString", 0, 1, 5.0, 5.0),
+    ]
+    assert _verdicts(spark, rows) == {5: False}
+
+
+def test_point_semantics(spark):
+    rows = [
+        (6, "Point", 0, 0, 2.0, 2.0),   # in fill
+        (7, "Point", 0, 0, 5.0, 5.0),   # in hole
+        (8, "Point", 0, 0, 12.0, 2.0),  # outside
+    ]
+    assert _verdicts(spark, rows) == {6: True, 7: False, 8: False}
+
+
+def test_multipoint_all_points_required(spark):
+    # one point of the multipoint in the hole -> whole feature false
+    rows = [
+        (9, "Point", 0, 0, 2.0, 2.0),
+        (9, "Point", 1, 0, 5.0, 5.0),
+    ]
+    assert _verdicts(spark, rows) == {9: False}
+
+
+def test_polygon_feature_never_within(spark):
+    rows = [
+        (10, "Polygon", 0, 0, 1.0, 1.0),
+        (10, "Polygon", 0, 1, 2.0, 1.0),
+        (10, "Polygon", 0, 2, 2.0, 2.0),
+        (10, "Polygon", 0, 3, 1.0, 1.0),
+    ]
+    assert _verdicts(spark, rows) == {10: False}
+
+
+def test_multiline_paths_segment_mask(spark):
+    # two paths, each fully inside; the phantom segment BETWEEN path 0's
+    # last vertex (3,5) and path 1's first (7,5) would cross the hole —
+    # the path mask must prevent it from counting
+    rows = [
+        (11, "LineString", 0, 0, 2.0, 5.0),
+        (11, "LineString", 0, 1, 3.0, 5.0),
+        (11, "LineString", 1, 0, 7.0, 5.0),
+        (11, "LineString", 1, 1, 8.0, 5.0),
+    ]
+    assert _verdicts(spark, rows) == {11: True}
+
+
+def test_real_tile_linestring_shave(spark):
+    """Shave the reference's canonical sf tile's road layer (LineString
+    features) with a within filter over the decoded REAL geometry."""
+    from vtshaver_spark.sources.mvt import decode_tile_points, decode_tiles
+    from vtshaver_spark.functions.geo import tile_bounds
+
+    with open(SF_TILE, "rb") as f:
+        blob = f.read()
+    tiles = spark.createDataFrame(
+        [(16, 10465, 25329, bytearray(blob))],
+        "z int, x bigint, y bigint, tile binary",
+    )
+    verts = decode_tile_points(tiles).cache()
+    feats = decode_tiles(tiles)
+
+    lon_min, lat_min, lon_max, lat_max = tile_bounds(16, 10465, 25329)
+
+    # polygon covering the whole tile (plus margin): every Point and
+    # LineString feature is within; Polygon features never are
+    margin = 0.01
+    cover = {
+        "type": "Polygon",
+        "coordinates": [[
+            [lon_min - margin, lat_min - margin],
+            [lon_max + margin, lat_min - margin],
+            [lon_max + margin, lat_max + margin],
+            [lon_min - margin, lat_max + margin],
+            [lon_min - margin, lat_min - margin],
+        ]],
+    }
+    keys = ("z", "x", "y", "layer", "feature_id")
+    all_roads = feats.filter(
+        (F.col("layer") == "road") & (F.col("geom_type") == "LineString")
+    )
+    n_roads = all_roads.count()
+    assert n_roads > 0
+    kept_all = shave_within(all_roads, verts, cover, keys=keys)
+    assert kept_all.count() == n_roads
+
+    # polygon covering only the WESTERN half: strictly fewer roads
+    # survive, and every surviving road's vertices are all in that half
+    half = {
+        "type": "Polygon",
+        "coordinates": [[
+            [lon_min - margin, lat_min - margin],
+            [(lon_min + lon_max) / 2.0, lat_min - margin],
+            [(lon_min + lon_max) / 2.0, lat_max + margin],
+            [lon_min - margin, lat_max + margin],
+            [lon_min - margin, lat_min - margin],
+        ]],
+    }
+    kept_half = shave_within(all_roads, verts, half, keys=keys)
+    n_half = kept_half.count()
+    assert 0 < n_half < n_roads
+    max_kept_lon = (
+        verts.join(
+            kept_half.select(*keys).distinct(), on=list(keys), how="left_semi"
+        )
+        .agg(F.max("lon"))
+        .collect()[0][0]
+    )
+    assert max_kept_lon <= (lon_min + lon_max) / 2.0
+    verts.unpersist()

@@ -964,44 +964,24 @@ class _Expr:
 
     # -- geometry expressions ------------------------------------------------
     def _op_within(self, e: list):
-        """["within", geojson] — true when the feature's point lies in
-        the literal Polygon. The ring is a compile-time constant, so
-        ray-casting unrolls into one fixed Column expression per edge
-        (fully codegen'd; no UDF). Point features only (lon/lat cols).
-        """
+        """["within", geojson] — row-level form: true when the row's
+        lon/lat point lies in the literal Polygon (even-odd ray cast
+        unrolled into fixed Column expressions per edge — codegen'd,
+        no UDF; functions/geo.point_in_polygon_col). mbgl evaluates
+        the WHOLE feature geometry (all points of a LineString, plus
+        no boundary crossing — reference accepts it via
+        src/filters.cpp:108-121); that full-geometry form works on
+        decoded vertex rows: operators/within.feature_within."""
         if len(e) != 2 or not isinstance(e[1], dict):
             raise FilterError("'within' expects a GeoJSON object")
         geom = e[1]
         if geom.get("type") == "Feature":
             geom = geom.get("geometry", {})
-        gtype = geom.get("type")
-        if gtype == "Polygon":
-            polys = [geom["coordinates"]]
-        elif gtype == "MultiPolygon":
-            polys = list(geom["coordinates"])
-        else:
+        if geom.get("type") not in ("Polygon", "MultiPolygon"):
             raise FilterError("'within' supports Polygon/MultiPolygon only")
-        lon, lat = F.col("lon"), F.col("lat")
-        any_poly = F.lit(False)
-        for rings in polys:
-            # even-odd over EVERY ring (exterior + holes): crossing an
-            # interior ring flips the parity back out, so points inside
-            # holes are excluded (GeoJSON polygon semantics)
-            inside = F.lit(False)
-            for ring in rings:
-                pts = list(ring)
-                if pts[0] != pts[-1]:
-                    pts.append(pts[0])
-                for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
-                    if ay == by:
-                        continue  # horizontal edge never crosses the ray
-                    crosses = ((F.lit(ay) > lat) != (F.lit(by) > lat)) & (
-                        lon
-                        < (lat - F.lit(ay)) * F.lit((bx - ax) / (by - ay)) + F.lit(ax)
-                    )
-                    inside = _xor(inside, crosses)
-            any_poly = any_poly | inside
-        return lon.isNotNull() & lat.isNotNull() & any_poly, "boolean"
+        from vtshaver_spark.functions.geo import point_in_polygon_col
+
+        return point_in_polygon_col(F.col("lon"), F.col("lat"), geom), "boolean"
 
     def _op_distance(self, e: list):
         """["distance", geojson Point] — meters from the feature's point

@@ -130,6 +130,127 @@ def tile_y_sql(lat_expr: str, z: int) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# GeoJSON polygon predicates — ONE edge enumeration drives both the
+# Column codegen form and the SQL parity form, so the engine and the
+# DuckDB oracle evaluate literally the same arithmetic.
+# ---------------------------------------------------------------------------
+
+def geojson_polygons(geom: dict) -> list:
+    """Normalize a GeoJSON Feature/Polygon/MultiPolygon literal to a
+    list of polygons, each a list of CLOSED rings of (x, y) tuples
+    (ring[0] == ring[-1]); ring 0 is the exterior, the rest holes."""
+    if geom.get("type") == "Feature":
+        geom = geom.get("geometry", {})
+    gtype = geom.get("type")
+    if gtype == "Polygon":
+        polys = [geom["coordinates"]]
+    elif gtype == "MultiPolygon":
+        polys = list(geom["coordinates"])
+    else:
+        raise ValueError("expected GeoJSON Polygon or MultiPolygon")
+    out = []
+    for rings in polys:
+        closed = []
+        for ring in rings:
+            pts = [tuple(p[:2]) for p in ring]
+            if pts[0] != pts[-1]:
+                pts.append(pts[0])
+            closed.append(pts)
+        out.append(closed)
+    return out
+
+
+def _ring_edges(ring: list):
+    return zip(ring[:-1], ring[1:])
+
+
+def point_in_polygon_col(lon: Column, lat: Column, geom: dict) -> Column:
+    """Even-odd ray cast against a LITERAL polygon, unrolled at plan
+    build into one fixed Column expression per non-horizontal edge —
+    fully whole-stage-codegen'd, no UDF. Counting EVERY ring (exterior
+    + holes) makes interior rings flip the parity back out (GeoJSON
+    hole semantics). MultiPolygon = OR over member polygons."""
+    any_poly = F.lit(False)
+    for rings in geojson_polygons(geom):
+        inside = F.lit(False)
+        for ring in rings:
+            for (ax, ay), (bx, by) in _ring_edges(ring):
+                if ay == by:
+                    continue  # horizontal edge never crosses the ray
+                crosses = ((F.lit(ay) > lat) != (F.lit(by) > lat)) & (
+                    lon < (lat - F.lit(ay)) * F.lit((bx - ax) / (by - ay)) + F.lit(ax)
+                )
+                # boolean XOR (parity flip)
+                inside = (inside | crosses) & ~(inside & crosses)
+        any_poly = any_poly | inside
+    return lon.isNotNull() & lat.isNotNull() & any_poly
+
+
+def point_in_polygon_sql(geom: dict, lon: str = "lon", lat: str = "lat") -> str:
+    """Crossing-count parity form of ``point_in_polygon_col`` for the
+    DuckDB oracle: same edges, same slopes, same comparisons."""
+    poly_terms = []
+    for rings in geojson_polygons(geom):
+        terms = []
+        for ring in rings:
+            for (ax, ay), (bx, by) in _ring_edges(ring):
+                if ay == by:
+                    continue
+                slope = (bx - ax) / (by - ay)
+                terms.append(
+                    f"CASE WHEN (({ay!r} > {lat}) <> ({by!r} > {lat})) "
+                    f"AND {lon} < ({lat} - {ay!r}) * {slope!r} + {ax!r} "
+                    f"THEN 1 ELSE 0 END"
+                )
+        poly_terms.append("(" + " + ".join(terms) + ") % 2 = 1")
+    return "(" + " OR ".join(poly_terms) + ")"
+
+
+def segment_crosses_col(
+    x1: Column, y1: Column, x2: Column, y2: Column, geom: dict
+) -> Column:
+    """True when segment (x1,y1)->(x2,y2) PROPERLY crosses any edge of
+    the literal polygon (exterior or hole rings — entering a hole
+    leaves the fill region). Strict two-sided orientation test, the
+    same proper-intersection rule mbgl's ``within`` uses for
+    LineString features: touching an edge endpoint does not count.
+    Unrolled per constant edge; pure codegen."""
+    any_cross = F.lit(False)
+    for rings in geojson_polygons(geom):
+        for ring in rings:
+            for (cx, cy), (dx, dy) in _ring_edges(ring):
+                qx, qy = dx - cx, dy - cy
+                # p1/p2 strictly on opposite sides of edge c->d
+                o1 = F.lit(qx) * (y1 - F.lit(cy)) - F.lit(qy) * (x1 - F.lit(cx))
+                o2 = F.lit(qx) * (y2 - F.lit(cy)) - F.lit(qy) * (x2 - F.lit(cx))
+                # c/d strictly on opposite sides of segment p1->p2
+                px, py = x2 - x1, y2 - y1
+                o3 = px * (F.lit(cy) - y1) - py * (F.lit(cx) - x1)
+                o4 = px * (F.lit(dy) - y1) - py * (F.lit(dx) - x1)
+                cross = (o1 * o2 < F.lit(0.0)) & (o3 * o4 < F.lit(0.0))
+                any_cross = any_cross | cross
+    return any_cross
+
+
+def segment_crosses_sql(
+    geom: dict, x1: str, y1: str, x2: str, y2: str
+) -> str:
+    """SQL parity form of ``segment_crosses_col`` (same edges, same
+    orientation products, same strict comparisons)."""
+    terms = []
+    for rings in geojson_polygons(geom):
+        for ring in rings:
+            for (cx, cy), (dx, dy) in _ring_edges(ring):
+                qx, qy = dx - cx, dy - cy
+                o1 = f"({qx!r} * ({y1} - {cy!r}) - {qy!r} * ({x1} - {cx!r}))"
+                o2 = f"({qx!r} * ({y2} - {cy!r}) - {qy!r} * ({x2} - {cx!r}))"
+                o3 = f"(({x2} - {x1}) * ({cy!r} - {y1}) - ({y2} - {y1}) * ({cx!r} - {x1}))"
+                o4 = f"(({x2} - {x1}) * ({dy!r} - {y1}) - ({y2} - {y1}) * ({dx!r} - {x1}))"
+                terms.append(f"({o1} * {o2} < 0.0 AND {o3} * {o4} < 0.0)")
+    return "(" + " OR ".join(terms) + ")"
+
+
 def grid_disk_tile(cell: int, k: int = 1) -> list:
     """Neighbor disk of a packed tile cell (``tile_cell`` layout):
     the (2k+1)^2 cells within Chebyshev distance k — x wraps at the

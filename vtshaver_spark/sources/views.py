@@ -112,6 +112,39 @@ FROM (
 ) base
 """
 
+# One row per geometry VERTEX of each feature (the full-geometry
+# ``within`` input shape — operators/within.py). Vertex counts follow
+# the MVT geometry model (Point=1; LineString 2-5; ring-ish 4 for the
+# rest); positions are integer arithmetic on (feature_id, vertex_idx),
+# exact in IEEE doubles on both engines. Features with feature_id%10=9
+# take long diagonal strides around lat 37-39 so some LINES cross the
+# geofence hole (or land inside it) — the boundary-crossing cases the
+# full-geometry semantics exist for. The vertex-count fan-out joins
+# nation (25 rows) as the dialect-neutral integer sequence.
+VERTICES_SQL = """
+SELECT
+  f.feature_id, f.z, f.x, f.y, f.layer, f.geom_type,
+  CAST(0 AS INT) AS path_idx,
+  CAST(n.n_nationkey AS INT) AS vertex_idx,
+  CASE WHEN f.feature_id % 10 = 9
+       THEN -124.2 + CAST(f.feature_id * 48271 % 2400000 AS DOUBLE) / 1000000.0
+            + CAST(n.n_nationkey AS DOUBLE) * 1.1
+       ELSE -126.0 + CAST(f.feature_id * 48271 % 8000000 AS DOUBLE) / 1000000.0
+            + CAST(n.n_nationkey AS DOUBLE) * 0.02
+  END AS lon,
+  CASE WHEN f.feature_id % 10 = 9
+       THEN 36.6 + CAST(f.feature_id * 69621 % 2400000 AS DOUBLE) / 1000000.0
+            + CAST(n.n_nationkey AS DOUBLE) * 0.05
+       ELSE 30.5 + CAST(f.feature_id * 69621 % 14600000 AS DOUBLE) / 1000000.0
+            + CAST(n.n_nationkey AS DOUBLE) * 0.015
+  END AS lat
+FROM features_v f
+JOIN nation n
+  ON n.n_nationkey < CASE WHEN f.geom_type = 'Point' THEN 1
+                          WHEN f.geom_type = 'LineString' THEN 2 + f.feature_id % 4
+                          ELSE 4 END
+"""
+
 POLYGONS_SQL = """
 SELECT
   n_nationkey + 1 AS polygon_id,
@@ -128,6 +161,9 @@ DERIVED_VIEWS = {
     "images_v": IMAGES_SQL,
     "landmarks_v": LANDMARKS_SQL,
     "features_v": FEATURES_SQL,
+    # vertices_v references features_v: keep it AFTER features_v (both
+    # in Spark registration order and in with_cte CTE order)
+    "vertices_v": VERTICES_SQL,
     "polygons_v": POLYGONS_SQL,
 }
 
