@@ -101,9 +101,15 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
     # caches in a shared heap
     features = _replicate(features_with_props(spark), replicate, n_part)
     images = _replicate(spark.table("images_v"), replicate, n_part)
+    cached = []
     if subset in ("all", "kernels"):
         features = features.cache()
         images = images.cache()
+        # unpersisted in the finally below: each run_suite call builds
+        # NEW DataFrames, so without it every extra pass leaks another
+        # full corpus copy into the shared heap (r2's sporadic pip
+        # outlier correlates with this growing GC pressure)
+        cached += [features, images]
     landmarks = spark.table("landmarks_v")
     polygons = spark.table("polygons_v")
     # single-file parquet scans as one partition — spread text/vector
@@ -258,6 +264,8 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
             / (timings["shave"] + timings["knn"] + timings["pip"]),
             1,
         )
+    for df in cached:
+        df.unpersist()
     return out
 
 

@@ -518,6 +518,33 @@ def test_decode_tiles_on_error_skip(spark):
     assert out.select("x").distinct().collect()[0]["x"] == 1
 
 
+def test_gzip_level_changes_output(spark):
+    """compress {type, level} parity with src/shave.cpp:412-446: the
+    level must actually reach zlib, not just validate (r2 gap)."""
+    from vtshaver_spark.sources.mvt import rows_to_tile
+
+    with open(SF_TILE, "rb") as f:
+        rows = tile_to_rows(f.read())
+    b1 = rows_to_tile(rows, compress=True, level=1)
+    b9 = rows_to_tile(rows, compress=True, level=9)
+    bd = rows_to_tile(rows, compress=True)  # default = best (9)
+    assert len(b1) > len(b9)
+    assert bd == b9
+    # both decompress back to the same row census
+    assert len(tile_to_rows(b1)) == len(tile_to_rows(b9)) == len(rows)
+
+    # level threads through the Spark sink too
+    tiles = spark.createDataFrame(
+        [(16, 1, 1, r["layer"], r["feature_id"], r["geom_type"], r["props"])
+         for r in rows[:40]],
+        "z int, x bigint, y bigint, layer string, feature_id bigint, "
+        "geom_type string, props map<string,string>",
+    )
+    out1 = encode_tiles_mvt(tiles, compress={"type": "gzip", "level": 1}).collect()
+    out9 = encode_tiles_mvt(tiles, compress={"type": "gzip", "level": 9}).collect()
+    assert len(out1[0]["tile"]) > len(out9[0]["tile"])
+
+
 def test_tile_to_rows_gzip_corruption_is_mvterror():
     # gzip/UTF-8 failures surface as MVTError (single exception type
     # for the decode-must-error contract AND the skip path)

@@ -69,3 +69,13 @@ def validate_compress(compress) -> bool:
         if not isinstance(level, int) or isinstance(level, bool) or level < 0:
             raise ShaveError(MSG_COMPRESS_LEVEL)
     return ctype == "gzip"
+
+
+def compress_level(compress):
+    """The validated gzip ``level`` from a compress option, or None for
+    the encoder default — the reference threads level through to zlib
+    (src/shave.cpp:412-446); r2 validated it but ignored it."""
+    if isinstance(compress, dict) and "level" in compress:
+        validate_compress(compress)
+        return int(compress["level"])
+    return None

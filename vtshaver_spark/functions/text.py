@@ -33,14 +33,15 @@ def token_count(col: Column) -> Column:
 def bpe_ish_token_count(col: Column) -> Column:
     """BPE-flavored subword proxy: alnum runs split every 4 chars plus
     standalone punctuation marks — a deterministic stand-in for a real
-    tokenizer's token count (stubbed: real BPE needs a vocab file)."""
-    alnum = F.regexp_extract_all(col, F.lit("[A-Za-z0-9]+"), 0)
-    subwords = F.aggregate(
-        alnum,
-        F.lit(0),
-        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
-    )
-    punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\sA-Za-z0-9]"), 0))
+    tokenizer's token count (stubbed: real BPE needs a vocab file).
+
+    Pure regex, fully codegen'd: a greedy ``[A-Za-z0-9]{1,4}`` match
+    consumes each maximal alnum run 4 chars at a time (remainder makes
+    one final short match), so its match COUNT equals
+    sum(ceil(run_len/4)) — no per-element ``aggregate`` fold (the
+    interpreted-lambda pathology measured 2-6x slower)."""
+    subwords = F.regexp_count(col, F.lit("[A-Za-z0-9]{1,4}")).cast("int")
+    punct = F.regexp_count(col, F.lit(r"[^\sA-Za-z0-9]")).cast("int")
     return subwords + punct
 
 

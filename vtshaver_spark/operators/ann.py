@@ -24,23 +24,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
-
-
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns (JVM fold)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two array<double> columns.
+
+    Routes to the Arrow-batched numpy kernel (``cosine_pairs_fast``):
+    the former zip_with/aggregate fold ran Spark's higher-order
+    lambdas interpreted per element (~100x slower) — a footgun for
+    library users, removed in r3."""
+    return cosine_pairs_fast(a, b)
 
 
 def cosine_topk(
@@ -69,7 +60,6 @@ def cosine_topk(
     q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
-    n_q = len(q_ids)
 
     part_schema = T.StructType(
         [
@@ -79,7 +69,12 @@ def cosine_topk(
         ]
     )
 
+    from vtshaver_spark.plans.broadcast import ship_arrays
+
+    get_q = ship_arrays(vectors.sparkSession, q_ids, q_mat, q_norm)
+
     def kernel(batches):
+        q_ids, q_mat, q_norm = get_q()
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -157,7 +152,12 @@ def with_srp_bucket(
         list(df.schema.fields) + [T.StructField(bucket_col, T.LongType(), False)]
     )
 
+    from vtshaver_spark.plans.broadcast import ship_arrays
+
+    get_planes = ship_arrays(df.sparkSession, planes)
+
     def kernel(batches):
+        (planes,) = get_planes()
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -344,7 +344,12 @@ def ivf_cosine_topk(
         list(v.schema.fields) + [T.StructField("_cent", T.IntegerType(), False)]
     )
 
+    from vtshaver_spark.plans.broadcast import ship_arrays
+
+    get_cent = ship_arrays(vectors.sparkSession, cent_norm)
+
     def assign(batches):
+        (cent_norm,) = get_cent()
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -102,7 +102,17 @@ def knn_join_broadcast(
     kpad = min(m, kk + 8)  # selection pad: exact re-rank fixes any
     # fp-epsilon boundary swaps inside the padded candidate set
 
+    # closure capture below 4 MB, torrent broadcast above (per-task
+    # RPC copies of a large landmark matrix would bottleneck the
+    # driver; plans/broadcast.py)
+    from vtshaver_spark.plans.broadcast import ship_arrays
+
+    get_lm = ship_arrays(
+        points.sparkSession, lm_id, lm_lon, lm_lat, lm_ops, lm_sq
+    )
+
     def kernel(batches):
+        lm_id, lm_lon, lm_lat, lm_ops, lm_sq = get_lm()
         # mapInArrow kernel. Disciplines measured on this VM:
         # (1) allocation-free math — concurrent first-touch faults on
         # fresh mmap'd arrays run ~100x slower than arithmetic, so the

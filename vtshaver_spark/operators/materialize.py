@@ -87,12 +87,16 @@ def _sort_key(rec: tuple):
     return (layer, fid if fid is not None else -1, lon or 0.0, lat or 0.0)
 
 
-def _encode_records(records: list, compress: bool) -> bytes:
+def _encode_records(records: list, compress: bool, level=None) -> bytes:
     records = sorted(records, key=_sort_key)
     blob = VTB_MAGIC + struct.pack("<I", len(records)) + b"".join(
         _pack_feature(r) for r in records
     )
-    return _gzip.compress(blob, mtime=0) if compress else blob
+    if compress:
+        return _gzip.compress(
+            blob, compresslevel=9 if level is None else level, mtime=0
+        )
+    return blob
 
 
 def decode_tile(blob: bytes) -> list:
@@ -151,8 +155,9 @@ def encode_tiles(
     """features (z,x,y,layer,feature_id,geom_type,lon,lat,props) ->
     one VTB1 blob row per tile. ``compress`` accepts the validated
     ``{type: none|gzip}`` contract (src/shave.cpp:412-446) or a bool."""
-    from vtshaver_spark.errors import validate_compress
+    from vtshaver_spark.errors import compress_level, validate_compress
 
+    level = compress_level(compress)
     compress = validate_compress(compress)
     cols = ["z", "x", "y", "layer", "feature_id", "geom_type", "lon", "lat", "props"]
     slim = df.select(*cols)
@@ -160,7 +165,7 @@ def encode_tiles(
     if not salt_partials:
         def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
             z, x, y = key
-            blob = _encode_records(_records_from_pdf(pdf), compress)
+            blob = _encode_records(_records_from_pdf(pdf), compress, level)
             return pd.DataFrame(
                 {
                     "z": [z], "x": [x], "y": [y],
@@ -202,7 +207,7 @@ def encode_tiles(
         records = []
         for blob in pdf["blob"]:
             records.extend(decode_tile(blob))
-        blob = _encode_records(records, compress)
+        blob = _encode_records(records, compress, level)
         return pd.DataFrame(
             {
                 "z": [z], "x": [x], "y": [y],

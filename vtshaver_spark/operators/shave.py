@@ -176,13 +176,13 @@ def shave_with_metrics(
 
     # Approximate encoded size of a row: sum of key/value lengths of its
     # retained properties (a stable stand-in for MVT bytes in row-model).
+    # length(concat(keys)) + length(concat(values)) — stays in codegen;
+    # the former per-entry aggregate() fold ran interpreted on the full
+    # input, the hottest path the metrics job has.
     def prop_bytes(col: Column) -> Column:
         return F.coalesce(
-            F.aggregate(
-                F.map_entries(col),
-                F.lit(0),
-                lambda acc, e: acc + F.length(e["key"]) + F.length(e["value"]),
-            ),
+            F.length(F.concat_ws("", F.map_keys(col)))
+            + F.length(F.concat_ws("", F.map_values(col))),
             F.lit(0),
         )
 

@@ -300,7 +300,7 @@ def _decode_feature(
 # tile encode
 # ---------------------------------------------------------------------------
 
-def rows_to_tile(rows: list[dict], compress: bool = False) -> bytes:
+def rows_to_tile(rows: list[dict], compress: bool = False, level: int = None) -> bytes:
     """Re-encode feature rows into an MVT blob.
 
     Deterministic: layers ordered by name, features by (feature_id,
@@ -371,7 +371,9 @@ def rows_to_tile(rows: list[dict], compress: bool = False) -> bytes:
         _write_len_field(out, 3, bytes(layer))
     blob = bytes(out)
     if compress:
-        blob = gzip.compress(blob, mtime=0)
+        blob = gzip.compress(
+            blob, compresslevel=9 if level is None else level, mtime=0
+        )
     return blob
 
 
@@ -461,8 +463,9 @@ def encode_tiles_mvt(
     wide writes at scale."""
     import pandas as pd
 
-    from vtshaver_spark.errors import validate_compress
+    from vtshaver_spark.errors import compress_level, validate_compress
 
+    level = compress_level(compress)
     compress = validate_compress(compress)
     tile_cols = list(tile_cols)
 
@@ -475,7 +478,7 @@ def encode_tiles_mvt(
         grouped = df.groupBy(*tile_cols).agg(
             F.collect_list(F.struct(*data_cols)).alias("_rows")
         )
-        enc_udf = make_tile_encoder(compress)
+        enc_udf = make_tile_encoder(compress, level)
         return grouped.select(*tile_cols, enc_udf(F.col("_rows")).alias("tile"))
 
     key_schema = ", ".join(
@@ -487,7 +490,7 @@ def encode_tiles_mvt(
 
     def enc(key, pdf):
         rows = pdf.to_dict("records")
-        blob = rows_to_tile(rows, compress=compress)
+        blob = rows_to_tile(rows, compress=compress, level=level)
         rec = dict(zip(tile_cols, key))
         rec["tile"] = blob
         return pd.DataFrame([rec])
