@@ -67,7 +67,9 @@ def test_stream_sessionize(spark, tmp_path):
         .parquet(src + "/f*")
     )
     q = (
-        stream_sessionize(stream, gap_minutes=30)
+        # timeout="none": the drain-handoff variant (open sessions stay
+        # in state; the batch session_rollup drains them)
+        stream_sessionize(stream, gap_minutes=30, timeout="none")
         .writeStream.format("memory")
         .queryName("sess_out")
         .outputMode("append")
@@ -87,3 +89,71 @@ def test_stream_sessionize(spark, tmp_path):
     assert [(r["user_id"], r["n_events"], r["sum_value"]) for r in rows] == [
         (1, 2, 3.0)
     ]
+
+
+def test_stream_sessionize_event_time_closure(spark, tmp_path):
+    """Open sessions close via event-time timeout when the watermark
+    passes last_event + gap — NO separate batch drain job (r2
+    VERDICT gap: a pure-streaming deployment leaked the last session
+    per user)."""
+    import datetime as dt
+
+    from vtshaver_spark.streaming.stateful import stream_sessionize
+
+    src = str(tmp_path / "sess_evt_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def row(user, minutes, value):
+        return (user, t0 + dt.timedelta(minutes=minutes), value)
+
+    schema = "user_id long, ts timestamp, value double"
+    # batch 1: user 1's only events (0 and 5 min) — session stays open
+    spark.createDataFrame(
+        [row(1, 0, 1.0), row(1, 5, 2.0)], schema
+    ).write.parquet(src + "/f1")
+    # batch 2: OTHER user far in the future advances the watermark
+    spark.createDataFrame([row(2, 120, 5.0)], schema).write.parquet(
+        src + "/f2"
+    )
+    # batch 3: another late-arriving user keeps the stream moving so
+    # the timeout (armed at 35 min, watermark now 120) fires
+    spark.createDataFrame([row(3, 130, 7.0)], schema).write.parquet(
+        src + "/f3"
+    )
+    # batch 4: one more advancing batch — the watermark lags one batch
+    # and a timeout clamped to wm+1 (when a session starts AFTER the
+    # watermark already passed its due time) needs the NEXT strictly
+    # later watermark to fire; a fourth file makes closure independent
+    # of file-listing order
+    spark.createDataFrame([row(4, 140, 9.0)], schema).write.parquet(
+        src + "/f4"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        stream_sessionize(stream, gap_minutes=30, timeout="event")
+        .writeStream.format("memory")
+        .queryName("sess_evt_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_evt_ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(timeout=180)
+    assert q.exception() is None
+    rows = spark.sql(
+        "SELECT user_id, n_events, sum_value FROM sess_evt_out"
+    ).collect()
+    q.stop()
+    # user 1's session (2 events, 3.0) emitted by TIMEOUT — no user-1
+    # event ever closed it, and no second job ran. Users 2/3/4 remain
+    # open (the final watermark, 140 min, never passes their
+    # last_event + gap) — correct event-time semantics for a stream
+    # whose tail is still unknowable.
+    got = {(r["user_id"], r["n_events"], r["sum_value"]) for r in rows}
+    assert got == {(1, 2, 3.0)}, got

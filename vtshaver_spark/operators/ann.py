@@ -304,6 +304,93 @@ def cosine_near_dups(
     )
 
 
+def _seed_centroids(
+    vectors: DataFrame, n_centroids: int, vec_id: str, vec_col: str
+) -> np.ndarray:
+    """Deterministic seed: the ``n_centroids`` corpus vectors with the
+    smallest ids, unit-normalized (no RNG — SQL-replayable)."""
+    cent_rows = (
+        vectors.select(vec_id, vec_col).orderBy(vec_id).limit(n_centroids).collect()
+    )
+    cent_mat = np.array([list(r[vec_col]) for r in cent_rows], dtype=np.float64)
+    return cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+
+
+def _assign_centroids(v: DataFrame, cent_norm: np.ndarray) -> DataFrame:
+    """Map-only Arrow matmul-argmax: append ``_cent`` (nearest centroid
+    by cosine) to a DataFrame with a ``_vv array<double>`` column.
+    argmax returns the FIRST max -> ties break toward the smaller
+    centroid index."""
+    from pyspark.sql import types as T
+
+    from vtshaver_spark.plans.broadcast import ship_arrays
+
+    out_schema = T.StructType(
+        list(v.schema.fields) + [T.StructField("_cent", T.IntegerType(), False)]
+    )
+    get_cent = ship_arrays(v.sparkSession, cent_norm)
+
+    def assign(batches):
+        (cent,) = get_cent()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf["_vv"]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            pdf["_cent"] = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+            yield pdf
+
+    return v.mapInPandas(assign, schema=out_schema)
+
+
+def train_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> np.ndarray:
+    """Deterministic spherical k-means-lite for IVF coarse quantizers.
+
+    Seed = first ``n_centroids`` by id (the r2 'degenerate' choice,
+    now only a starting point); each iteration is one map-only Arrow
+    argmax assignment plus ONE hash aggregation of per-dimension sums
+    (dim x n_centroids doubles — driver-sized), then a driver-side
+    mean + renormalize. Empty clusters keep their previous centroid.
+    No RNG anywhere, so the result is reproducible run-to-run and
+    cluster-size-independent (sums are associative).
+
+    100 TB shape: per iteration the corpus is touched once map-side;
+    the aggregate's shuffle is n_centroids rows of dim sums with
+    map-side partials. n_iters is small (1-3 captures most of the
+    recall gain; see tests/test_ann.py recall assertion).
+    """
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    cent = _seed_centroids(vectors, n_centroids, vec_id, vec_col)
+    v = vectors.select(F.col(vec_col).cast("array<double>").alias("_vv"))
+    for _ in range(n_iters):
+        assigned = _assign_centroids(v, cent)
+        sums = (
+            assigned.groupBy("_cent")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.col("_vv")[i]).alias(f"_s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = cent.copy()
+        for r in sums:
+            mean = np.array([r[f"_s{i}"] for i in range(dim)], dtype=np.float64)
+            mean /= r["_n"]
+            norm = np.linalg.norm(mean)
+            if norm > 0:
+                new[r["_cent"]] = mean / norm
+        cent = new
+    return cent
+
+
 def ivf_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -313,54 +400,32 @@ def ivf_cosine_topk(
     vec_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
+    centroids: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists, probe the ``n_probe`` closest
     lists per query, exact cosine re-rank inside them.
 
-    Centroids are the ``n_centroids`` corpus vectors with the smallest
-    ids — deterministic (no RNG, no k-means iterations), which keeps
-    the whole pipeline SQL-replayable for the correctness oracle; at
-    deploy scale you'd swap in trained centroids without touching the
-    plan shape. Assignment is a map-only Arrow matmul-argmax; probing
+    ``centroids`` (rows unit-normalized) plugs in a trained coarse
+    quantizer — ``train_centroids`` above — without touching the plan
+    shape; the default is the deterministic first-n-by-id seed, which
+    keeps the whole pipeline SQL-replayable for the correctness
+    oracle. Assignment is a map-only Arrow matmul-argmax; probing
     joins a broadcast query list against the centroid column, so the
     corpus shuffles ONCE at most (pre-partition by ``_cent`` via
     plans.partitioning.repartition_by_cell to make probes
     partition-pruned at scale).
     """
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    cent_rows = (
-        vectors.select(vec_id, vec_col).orderBy(vec_id).limit(n_centroids).collect()
+    cent_norm = (
+        centroids
+        if centroids is not None
+        else _seed_centroids(vectors, n_centroids, vec_id, vec_col)
     )
-    cent_mat = np.array([list(r[vec_col]) for r in cent_rows], dtype=np.float64)
-    cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
 
     v = vectors.select(
         F.col(vec_id), F.col(vec_col).cast("array<double>").alias("_vv")
     )
-    out_schema = T.StructType(
-        list(v.schema.fields) + [T.StructField("_cent", T.IntegerType(), False)]
-    )
-
-    from vtshaver_spark.plans.broadcast import ship_arrays
-
-    get_cent = ship_arrays(vectors.sparkSession, cent_norm)
-
-    def assign(batches):
-        (cent_norm,) = get_cent()
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            mat = np.array(list(pdf["_vv"]), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            # argmax returns the FIRST max -> ties break toward the
-            # smaller centroid index (centroids are id-ordered)
-            pdf["_cent"] = np.argmax(mat @ cent_norm.T, axis=1).astype(np.int32)
-            yield pdf
-
-    assigned = v.mapInPandas(assign, schema=out_schema)
+    assigned = _assign_centroids(v, cent_norm)
 
     q_rows = sorted(queries.select(query_id, vec_col).collect(), key=lambda r: r[query_id])
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)

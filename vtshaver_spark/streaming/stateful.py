@@ -82,6 +82,7 @@ def stream_sessionize(
     ts_col: str = "ts",
     value_col: str = "value",
     gap_minutes: float = 30.0,
+    timeout: str = "event",
 ) -> DataFrame:
     """Streaming gap-based sessionization (applyInPandasWithState):
     per-user state carries the OPEN session (start, last event time,
@@ -89,12 +90,24 @@ def stream_sessionize(
     the gap. The stream's micro-batches are processed in event-time
     order WITHIN each group's batch (sorted here); an event older than
     the open session's last timestamp extends that session (late data
-    folds in rather than forking history). Open sessions at stream end
-    remain in state — drain them with the batch ``session_rollup`` on
-    the final day's data, the standard lambda-less handoff.
+    folds in rather than forking history).
+
+    ``timeout="event"`` (default) CLOSES open sessions by event-time
+    timeout: each update arms a timeout at ``last_event + gap``; when
+    the stream's watermark passes it, the open session is emitted and
+    its state removed — no separate batch drain job. Requires the
+    input stream to carry a watermark
+    (``stream_df.withWatermark(ts_col, ...)``); pure event-time, so a
+    session only closes once LATER data advances the watermark past
+    its gap (the genuinely-last session of a stream that simply stops
+    is unknowable until more data or a drain — use
+    ``timeout="none"`` + the batch ``session_rollup`` handoff for
+    final-drain semantics).
     """
     import pandas as pd
 
+    if timeout not in ("none", "event"):
+        raise ValueError("timeout must be 'none' or 'event'")
     gap_s = gap_minutes * 60.0
     out_schema = T.StructType(
         [
@@ -114,10 +127,28 @@ def stream_sessionize(
         ]
     )
 
+    def emit(user, sessions):
+        return pd.DataFrame(
+            {
+                user_col: [user] * len(sessions),
+                "session_start": [pd.Timestamp(c[0] * 1000) for c in sessions],
+                "session_end": [pd.Timestamp(c[1] * 1000) for c in sessions],
+                "n_events": [c[2] for c in sessions],
+                "sum_value": [c[3] for c in sessions],
+            }
+        )
+
     def fn(key, pdfs, state: GroupState):
         (user,) = key
         if state.hasTimedOut:
-            state.remove()
+            # watermark passed last_event + gap: the open session can
+            # never be extended by non-late data — close and emit it
+            if state.exists:
+                open_session = tuple(state.get)
+                state.remove()
+                yield emit(user, [open_session])
+            else:
+                state.remove()
             return
         cur = list(state.get) if state.exists else None
         closed = []
@@ -137,21 +168,26 @@ def stream_sessionize(
                     cur[3] += v
         if cur is not None:
             state.update(tuple(cur))
+            if timeout == "event":
+                # must be strictly beyond the current watermark or the
+                # state store rejects it (a session already past its
+                # gap fires at the next watermark tick)
+                due_ms = cur[1] // 1000 + int(gap_s * 1000)
+                state.setTimeoutTimestamp(
+                    max(due_ms, state.getCurrentWatermarkMs() + 1)
+                )
         if closed:
-            yield pd.DataFrame(
-                {
-                    user_col: [user] * len(closed),
-                    "session_start": [pd.Timestamp(c[0] * 1000) for c in closed],
-                    "session_end": [pd.Timestamp(c[1] * 1000) for c in closed],
-                    "n_events": [c[2] for c in closed],
-                    "sum_value": [c[3] for c in closed],
-                }
-            )
+            yield emit(user, closed)
 
+    timeout_conf = (
+        GroupStateTimeout.EventTimeTimeout
+        if timeout == "event"
+        else GroupStateTimeout.NoTimeout
+    )
     return stream_df.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
