@@ -147,12 +147,16 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
         )
     emb_base = spark.table("embeddings")
     embeddings = emb_base.repartition(n_part)
-    if text_factor > 1:
+    # independent knob: ann_cosine's work is queries x corpus; the
+    # scaling harness raises this so ann sits well above the ~0.5s
+    # scheduling floor that otherwise shows zero scaling signal
+    emb_factor = int(os.environ.get("SPARK_GRAFT_EMB_REPLICATE", str(text_factor)))
+    if emb_factor > 1:
         embeddings = (
             embeddings.withColumn(
-                "_rep", F.explode(F.sequence(F.lit(0), F.lit(text_factor - 1)))
+                "_rep", F.explode(F.sequence(F.lit(0), F.lit(emb_factor - 1)))
             )
-            .withColumn("vec_id", F.col("vec_id") * 100 + F.col("_rep"))
+            .withColumn("vec_id", F.col("vec_id") * 1000 + F.col("_rep"))
             .drop("_rep")
         )
 
@@ -198,7 +202,11 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
             "knn",
             lambda: knn_join_broadcast(images_slim, landmarks, k=3).count(),
         )
-        q = emb_base.filter(F.col("vec_id") < 8).select(
+        # query-set size is the GEMM work multiplier; the scaling
+        # harness raises it so ann_cosine sits well above the ~0.5s
+        # per-query scheduling floor that otherwise masks its signal
+        n_ann_q = int(os.environ.get("SPARK_GRAFT_ANN_QUERIES", "8"))
+        q = emb_base.filter(F.col("vec_id") < n_ann_q).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         timed("ann_cosine", lambda: cosine_topk(embeddings, q, k=10).count())
@@ -275,7 +283,7 @@ def one_run(
     warmup: bool = True,
     replicate: int = REPLICATE,
     subset: str = "all",
-    passes: int = 2,
+    passes: int = 3,
 ) -> dict:
     spark = build_session(
         app_name=f"bench-{cores}",
@@ -301,6 +309,22 @@ def one_run(
             k: min(r["timings"][k] for r in results) for k in best["timings"]
         }
         best["total_sec"] = round(sum(best["timings"].values()), 3)
+        # recompute derived throughputs from the MIN-merged timings —
+        # r2 reported them from pass 1's wall time, so one contended
+        # pass poisoned rows_per_sec even when the minima were clean
+        t = best["timings"]
+        best["rows_per_sec"] = round(
+            (best["feature_rows"] + 2 * best["image_rows"]) / best["total_sec"], 1
+        )
+        if "mvt_shave" in t and best.get("mvt_tiles"):
+            best["mvt_tiles_per_sec"] = round(best["mvt_tiles"] / t["mvt_shave"], 1)
+        if subset == "all":
+            c = best["counts"]
+            best["shaved_joined_rows_per_sec"] = round(
+                (c["shave"] + c["knn"] + c["pip"])
+                / (t["shave"] + t["knn"] + t["pip"]),
+                1,
+            )
         return best
     finally:
         spark.stop()
@@ -373,6 +397,8 @@ def main():
             }
 
         rel = pair_run(rel_pair, rel_repl, "relational")
+        os.environ.setdefault("SPARK_GRAFT_ANN_QUERIES", "64")
+        os.environ.setdefault("SPARK_GRAFT_EMB_REPLICATE", "256")
         ker = pair_run(ker_pair, ker_repl, "kernels")
         codec_repl = int(os.environ.get("SPARK_GRAFT_CODEC_REPLICATE", "32"))
         codec = pair_run(ker_pair, codec_repl, "mvt")

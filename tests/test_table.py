@@ -1,0 +1,127 @@
+"""Snapshot-table commit protocol: MERGE, overwrite-by-filter,
+write-then-publish atomicity, partition-pruned copy-on-write, time
+travel (plans/table.py — the Iceberg-shaped G8 contract)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vtshaver_spark.plans.table import SnapshotTable
+
+
+def _rows(df):
+    return {
+        (r["k"], r["val"]) for r in df.select("k", "val").collect()
+    }
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), key_col="k", n_buckets=4)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, val string"
+    )
+    assert t.create(base) == 1
+    return t
+
+
+def test_merge_upsert_semantics(spark, table):
+    src = spark.createDataFrame(
+        [(3, "updated3"), (7, "updated7"), (100, "new100")], "k long, val string"
+    )
+    v = table.merge_into(src)
+    assert v == 2
+    got = _rows(table.read())
+    assert (3, "updated3") in got and (7, "updated7") in got
+    assert (100, "new100") in got
+    assert (3, "v3") not in got
+    # untouched rows survive
+    assert (0, "v0") in got and len(got) == 21
+
+
+def test_merge_is_partition_pruned(spark, table):
+    # a single-key merge must rewrite only that key's bucket: every
+    # other bucket's manifest entry still points at snapshot 1's data
+    src = spark.createDataFrame([(3, "x")], "k long, val string")
+    table.merge_into(src)
+    man = table._manifest()
+    reused = [p for p in man["buckets"].values() if p.startswith("snap-000001")]
+    rewritten = [p for p in man["buckets"].values() if p.startswith("snap-000002")]
+    assert len(rewritten) == 1
+    assert len(reused) == len(man["buckets"]) - 1
+
+
+def test_merge_idempotent_rerun(spark, table):
+    src = spark.createDataFrame(
+        [(1, "u1"), (50, "n50")], "k long, val string"
+    )
+    table.merge_into(src)
+    first = _rows(table.read())
+    table.merge_into(src)  # e.g. a retried driver re-running its slice
+    assert _rows(table.read()) == first
+
+
+def test_merge_rejects_duplicate_source_keys(spark, table):
+    src = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "k long, val string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        table.merge_into(src)
+
+
+def test_crash_before_publish_leaves_old_snapshot(spark, table):
+    """Write-then-publish: staged data without the pointer swap is
+    invisible — simulate the crash by staging a snapshot dir and a
+    manifest WITHOUT swapping _current."""
+    before = _rows(table.read())
+    # stage garbage the way a dying merge would
+    staged = table._write_buckets(
+        spark.createDataFrame([(3, "torn")], "k long, val string"),
+        "snap-000099",
+        [0, 1, 2, 3],
+    )
+    with open(table._manifest_path(99), "w") as f:
+        json.dump({"version": 99, "buckets": {str(b): p for b, p in staged.items()},
+                   "key_col": "k", "n_buckets": 4}, f)
+    # pointer untouched -> readers see the old table
+    assert table.current_version() == 1
+    assert _rows(table.read()) == before
+
+
+def test_overwrite_by_filter(spark, table):
+    repl = spark.createDataFrame(
+        [(200, "r200"), (201, "r201")], "k long, val string"
+    )
+    table.overwrite_by_filter("k >= 10", replacement=repl)
+    got = _rows(table.read())
+    assert not any(10 <= k < 100 for k, _ in got)
+    assert (200, "r200") in got and (201, "r201") in got
+    assert (5, "v5") in got
+    # pure delete-where
+    table.overwrite_by_filter("k = 5")
+    assert (5, "v5") not in _rows(table.read())
+
+
+def test_time_travel_and_vacuum(spark, table):
+    v1 = _rows(table.read(version=1))
+    table.merge_into(
+        spark.createDataFrame([(0, "mutated")], "k long, val string")
+    )
+    assert _rows(table.read(version=1)) == v1  # old snapshot intact
+    assert (0, "mutated") in _rows(table.read())
+    deleted = table.vacuum(keep_last=1)
+    # snapshot 1's dirs are still partly LIVE (reused buckets), so
+    # vacuum must not delete them; only fully-unreachable dirs go
+    assert "snap-000001" not in deleted
+    assert _rows(table.read()) is not None  # current still readable
+    with pytest.raises(FileNotFoundError):
+        table._manifest(1)  # old manifest pruned
+
+
+def test_empty_merge_noop(spark, table):
+    v = table.merge_into(
+        spark.createDataFrame([], "k long, val string")
+    )
+    assert v == 1  # no new snapshot for an empty source

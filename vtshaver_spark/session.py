@@ -28,6 +28,15 @@ def build_session(
     # sizes).
     os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    # One BLAS thread per python worker: parallelism belongs to Spark's
+    # task slots, not to nested OpenBLAS threads. Unpinned, each
+    # worker's GEMM grabs extra cores when the box is idle — the
+    # low-core bench config silently borrows cores and the measured
+    # N->4N scaling efficiency compresses (r3: kernels 0.75 unpinned);
+    # on a packed production executor the same nesting oversubscribes.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("MKL_NUM_THREADS", "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
