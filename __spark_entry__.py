@@ -652,7 +652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", "session_idx",
             F.date_format("session_start", fmt).alias("session_start"),
             F.date_format("session_end", fmt).alias("session_end"),
-            "n_events", "sum_value",
+            "n_events",
+            # canonical decimal string (mirror region_revenue): no
+            # double ever reaches the driver hasher
+            F.col("sum_value").cast("decimal(38,6)").cast("string").alias("sum_value"),
         )
 
     q["user_sessions"] = user_sessions
@@ -1143,16 +1146,19 @@ WITH s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 s2 AS (
+  -- CAST: DuckDB window SUM(INT) returns HUGEINT, which pandas/arrow
+  -- fetches render as float64 (4.0 vs Spark's long 4) — the r2/r3
+  -- driver hash divergence; same pattern as sum_k below
   SELECT user_id, ts, value,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
   FROM s
 )
 SELECT user_id, session_idx,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 6) AS sum_value
+       CAST(CAST(ROUND(SUM(value), 6) AS DECIMAL(38,6)) AS VARCHAR) AS sum_value
 FROM s2 GROUP BY 1, 2
 """
 
