@@ -11,6 +11,7 @@ from vtshaver_spark.operators.knn import (
     knn_join_cells,
 )
 from vtshaver_spark.operators.pip import (
+    from_polygons_df,
     pip_polygon_join,
     pip_rect_join,
     rect_rings,
@@ -114,6 +115,45 @@ def test_pip_polygon_concave(spark):
     )
     out = pip_polygon_join(pts, [(1, ring)]).select("image_id").collect()
     assert {r["image_id"] for r in out} == {"in_lower", "in_upper", "in_left"}
+
+
+def test_pip_rect_plan_is_hash_join(spark, points):
+    """The cell-cover rewrite must plan a BroadcastHashJoin on the
+    cell keys — the former inequality-only condition forced a
+    BroadcastNestedLoopJoin whose cost is linear in the rect count."""
+    rects = polygons_df(spark, n=12)
+    plan = (
+        pip_rect_join(points, rects)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_from_polygons_df_bridge(spark, points):
+    """polygons-DataFrame -> pip_polygon_join bridge: same result as
+    hand-building the driver-side list, and the size guard trips."""
+    rects = polygons_df(spark, n=30)
+    rect_rows = [
+        (r["polygon_id"], r["lon_min"], r["lat_min"], r["lon_max"], r["lat_max"])
+        for r in rects.collect()
+        if r["ring"] is None
+    ]
+    ring_df = spark.createDataFrame(
+        [(pid, ring) for pid, ring in rect_rings(rect_rows)],
+        "polygon_id long, ring array<array<double>>",
+    )
+    via_bridge = {
+        (r["image_id"], r["polygon_id"])
+        for r in pip_polygon_join(points, from_polygons_df(ring_df)).collect()
+    }
+    direct = {
+        (r["image_id"], r["polygon_id"])
+        for r in pip_polygon_join(points, rect_rings(rect_rows)).collect()
+    }
+    assert via_bridge == direct and len(direct) > 0
+    with pytest.raises(ValueError, match="max_polygons"):
+        from_polygons_df(ring_df, max_polygons=2)
 
 
 def test_pip_paths_agree(spark, points):

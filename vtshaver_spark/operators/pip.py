@@ -1,7 +1,14 @@
 """Point-in-polygon joins (SURVEY §2.3 G3).
 
  - ``pip_rect_join``: rectangles (the common style-extent case) as a
-   broadcast range join — pure Catalyst, no UDF.
+   cell-keyed broadcast HASH join — pure Catalyst, no UDF. Each rect
+   is exploded into its covering Web-Mercator tiles at ``cell_zoom``;
+   points compute their own tile (codegen math) and equi-join on the
+   cell key, with the exact range predicate applied as the join
+   residual. Catalyst extracts the equality keys, so the physical
+   plan is BroadcastHashJoin — per-point cost is O(rects sharing the
+   point's cell), not O(all rects) as the former inequality-only
+   BroadcastNestedLoopJoin was.
  - ``pip_polygon_join``: arbitrary rings via a vectorized numpy
    ray-casting kernel inside ``mapInPandas``. The polygon set is
    broadcast to every partition as plain Python data (the style-
@@ -32,21 +39,61 @@ def pip_rect_join(
     rects: DataFrame,
     point_id: str = "image_id",
     poly_id: str = "polygon_id",
+    cell_zoom: int = 5,
 ) -> DataFrame:
-    """Broadcast inequality join: point in [lon_min,lon_max]x[lat_min,lat_max].
+    """Cell-keyed broadcast hash join: point in
+    [lon_min,lon_max) x [lat_min,lat_max).
 
     Half-open on the max edges so adjacent rectangles never double-count.
+
+    Each rect explodes into its covering slippy tiles at ``cell_zoom``
+    (inclusive tile ranges cover the half-open rect exactly: tile_x/y
+    are monotonic, so every point inside the rect lands in one of the
+    covering cells — and in exactly ONE cell, its own, so a rect
+    spanning many cells never duplicates a match). The equality on
+    (_cx,_cy) makes Catalyst plan a BroadcastHashJoin with the exact
+    range predicate as the residual join filter; the big point side is
+    never shuffled and evaluates only the rects sharing its cell.
+
+    Pick ``cell_zoom`` so a typical rect covers O(1-10) cells:
+    cells/rect ~ (width_deg/360 * 2^z + 1) * (mercator rows + 1).
+    Degenerate rects (min > max) still return no rows — F.sequence
+    would descend, but the residual range predicate rejects every
+    candidate.
     """
-    r = F.broadcast(
-        rects.select(poly_id, "lon_min", "lat_min", "lon_max", "lat_max")
+    from vtshaver_spark.functions.geo import tile_x, tile_y
+
+    cover = rects.select(
+        poly_id, "lon_min", "lat_min", "lon_max", "lat_max"
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(tile_x("lon_min", cell_zoom), tile_x("lon_max", cell_zoom))
+        ).alias("_cx"),
+    ).select(
+        "*",
+        # tile_y decreases with lat: lat_max maps to the LOW tile row
+        F.explode(
+            F.sequence(tile_y("lat_max", cell_zoom), tile_y("lat_min", cell_zoom))
+        ).alias("_cy"),
+    )
+    r = F.broadcast(cover)
+    p = points.withColumn("_cx", tile_x("lon", cell_zoom)).withColumn(
+        "_cy", tile_y("lat", cell_zoom)
     )
     cond = (
-        (points["lon"] >= r["lon_min"])
-        & (points["lon"] < r["lon_max"])
-        & (points["lat"] >= r["lat_min"])
-        & (points["lat"] < r["lat_max"])
+        (p["_cx"] == r["_cx"])
+        & (p["_cy"] == r["_cy"])
+        & (p["lon"] >= r["lon_min"])
+        & (p["lon"] < r["lon_max"])
+        & (p["lat"] >= r["lat_min"])
+        & (p["lat"] < r["lat_max"])
     )
-    return points.join(r, cond).drop("lon_min", "lat_min", "lon_max", "lat_max")
+    return (
+        p.join(r, cond)
+        .drop(r["_cx"]).drop(r["_cy"])
+        .drop("lon_min", "lat_min", "lon_max", "lat_max", "_cx", "_cy")
+    )
 
 
 def _ray_cast(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
@@ -108,6 +155,34 @@ def pip_polygon_join(
                 yield pd.concat(outs, ignore_index=True)
 
     return points.mapInPandas(kernel, schema=out_schema)
+
+
+def from_polygons_df(
+    polygons: DataFrame,
+    poly_id: str = "polygon_id",
+    ring_col: str = "ring",
+    max_polygons: int = 100_000,
+) -> list:
+    """Bridge a polygons DataFrame to ``pip_polygon_join``'s
+    driver-side list contract.
+
+    ``ring_col`` must be ``array<array<double>>`` (closed
+    [[lon,lat],...] ring). The collect is guarded: polygon sets are
+    dimension-sized by contract (style extents, admin boundaries —
+    thousands, not billions); a side bigger than ``max_polygons``
+    raises instead of silently flooding the driver. For genuinely
+    large polygon sides, pre-partition by covering cell and run the
+    cell-local join instead (see pip_rect_join's cell-cover shape).
+    """
+    n = polygons.limit(max_polygons + 1).count()
+    if n > max_polygons:
+        raise ValueError(
+            f"polygon side exceeds max_polygons={max_polygons}; "
+            "pip_polygon_join broadcasts the polygon set to every task — "
+            "use a cell-keyed join for non-dimension-sized polygon tables"
+        )
+    rows = polygons.select(poly_id, ring_col).collect()
+    return [(row[0], row[1]) for row in rows]
 
 
 def rect_rings(rects: list) -> list:
