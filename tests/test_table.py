@@ -8,7 +8,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from vtshaver_spark.plans.table import SnapshotTable
+from vtshaver_spark.plans.table import ConcurrentCommitError, SnapshotTable
 
 
 def _rows(df):
@@ -125,3 +125,50 @@ def test_empty_merge_noop(spark, table):
         spark.createDataFrame([], "k long, val string")
     )
     assert v == 1  # no new snapshot for an empty source
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, table):
+    """SQL DELETE-WHERE removes only rows where the predicate IS TRUE:
+    a row whose predicate evaluates NULL must survive (three-valued
+    logic — a bare negated filter would silently drop it)."""
+    table.merge_into(
+        spark.createDataFrame([(500, None)], "k long, val string")
+    )
+    table.overwrite_by_filter("val = 'v3'")
+    got = _rows(table.read())
+    assert (3, "v3") not in got          # TRUE rows deleted
+    assert (500, None) in got            # NULL-evaluating row survives
+    assert (5, "v5") in got              # FALSE rows survive
+
+
+def test_create_refuses_existing_table(spark, table):
+    """Re-creating in place would overwrite data dirs still referenced
+    by live manifests; create() must refuse after the first snapshot."""
+    with pytest.raises(FileExistsError, match="already exists"):
+        table.create(
+            spark.createDataFrame([(1, "x")], "k long, val string")
+        )
+    assert table.current_version() == 1  # untouched
+
+
+def test_concurrent_publish_loser_raises(spark, table):
+    """CAS commit: two writers planning against the same base version
+    cannot both publish — the second manifest create collides and
+    raises instead of silently dropping the winner's buckets."""
+    src_a = spark.createDataFrame([(1, "a")], "k long, val string")
+    src_b = spark.createDataFrame([(2, "b")], "k long, val string")
+    # simulate writer B staging concurrently: plan B's commit against
+    # base 1, let A commit first, then publish B against the stale base
+    base = table.current_version()
+    man = table._manifest()
+    staged_b = table._write_buckets(src_b, "snap-conc-b", list(range(4)))
+    buckets_b = {int(k): p for k, p in man["buckets"].items()}
+    buckets_b.update(staged_b)
+
+    assert table.merge_into(src_a) == 2  # writer A wins
+
+    with pytest.raises(ConcurrentCommitError):
+        table._publish(buckets_b, base)
+    # A's commit is intact
+    assert (1, "a") in _rows(table.read())
+    assert table.current_version() == 2

@@ -14,7 +14,11 @@ Every commit follows write-then-publish: stage the new snapshot's data
 directories, write the next manifest, then ``os.replace`` the pointer.
 A crash before the pointer swap leaves readers on the old snapshot —
 no torn state, and ``read(version=k)`` time-travels to any retained
-snapshot because manifests are immutable.
+snapshot because manifests are immutable. Commits are optimistic-
+concurrency safe: versions are dense and the manifest is created with
+an exclusive ``open('x')``, so of two writers planning against the
+same base exactly one publishes and the other raises
+``ConcurrentCommitError`` (Iceberg's CAS-on-pointer contract).
 
 Copy-on-write is PARTITION-PRUNED, the property that makes MERGE
 viable at 100 TB: rows hash into ``n_buckets`` key buckets, the merge
@@ -36,6 +40,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _BUCKET = "_bucket"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another committer published this version first. The losing
+    writer's staged data is untouched; retry the operation from the
+    new current snapshot."""
 
 
 class SnapshotTable:
@@ -76,19 +86,38 @@ class SnapshotTable:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def _publish(self, buckets: dict) -> int:
+    def _publish(self, buckets: dict, base_version: Optional[int] = None) -> int:
         """Write manifest vN+1 then atomically swap the pointer. The
         staged data is already on disk; everything before the final
-        ``os.replace`` is invisible to readers."""
-        version = self.current_version() + 1
+        ``os.replace`` is invisible to readers.
+
+        Optimistic concurrency (Iceberg-style CAS on the commit): the
+        manifest is created with ``open(..., 'x')``, so if another
+        committer already published version N+1 against the same base
+        the exclusive create raises and THIS commit loses — instead of
+        the pre-r4 behavior where the second ``open('w')`` clobbered
+        the first manifest and the pointer swap silently dropped the
+        winner's buckets. ``base_version`` is the version the caller
+        read when it planned the commit; versions are dense, so the
+        exclusive create of v(base+1) is exactly compare-and-swap on
+        the pointer."""
+        base = self.current_version() if base_version is None else base_version
+        version = base + 1
         manifest = {
             "version": version,
             "key_col": self.key_col,
             "n_buckets": self.n_buckets,
             "buckets": {str(b): p for b, p in sorted(buckets.items())},
         }
-        with open(self._manifest_path(version), "w") as f:
-            json.dump(manifest, f)
+        try:
+            with open(self._manifest_path(version), "x") as f:
+                json.dump(manifest, f)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} of table {self.path} was already "
+                f"committed by another writer (base {base} is stale); "
+                "re-read the table and retry"
+            ) from None
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)
@@ -123,11 +152,23 @@ class SnapshotTable:
         return self.spark.read.parquet(*paths)
 
     def create(self, df: DataFrame) -> int:
-        """Snapshot 1 from a full DataFrame."""
+        """First snapshot from a full DataFrame. Refuses to run on a
+        table that already has snapshots: re-creating in place would
+        overwrite data directories still referenced by live manifests
+        (torn reads, corrupted time travel) — truncate-and-reload is
+        ``overwrite_by_filter('true', df)``, which stages under a NEW
+        snapshot directory like every other commit."""
         os.makedirs(self.path, exist_ok=True)
+        if os.path.exists(self._pointer()):
+            raise FileExistsError(
+                f"table {self.path} already exists (current version "
+                f"{self.current_version()}); use merge_into or "
+                "overwrite_by_filter instead of create"
+            )
+        base = self.current_version()
         all_buckets = list(range(self.n_buckets))
-        staged = self._write_buckets(df, "snap-000001", all_buckets)
-        return self._publish(staged)
+        staged = self._write_buckets(df, f"snap-{base + 1:06d}", all_buckets)
+        return self._publish(staged, base)
 
     def read(self, version: Optional[int] = None) -> DataFrame:
         """The table at ``version`` (default: current). Manifests are
@@ -163,7 +204,8 @@ class SnapshotTable:
             )
             if not affected:
                 return self.current_version()
-            version = self.current_version() + 1
+            base = self.current_version()
+            version = base + 1
             snap_name = f"snap-{version:06d}"
 
             # current rows of ONLY the affected buckets, minus keys the
@@ -188,7 +230,7 @@ class SnapshotTable:
             for b in affected:
                 buckets.pop(int(b), None)
             buckets.update(staged)
-            return self._publish(buckets)
+            return self._publish(buckets, base)
         finally:
             src.unpersist()
 
@@ -213,16 +255,23 @@ class SnapshotTable:
         affected = sorted(int(b) for b in affected)
         if not affected:
             return self.current_version()
-        version = self.current_version() + 1
+        base = self.current_version()
+        version = base + 1
 
         existing_dirs = [
             man["buckets"][str(b)] for b in affected if str(b) in man["buckets"]
         ]
         parts = []
         if existing_dirs:
+            # SQL DELETE-WHERE removes only rows where the predicate IS
+            # TRUE; under three-valued logic ~NULL is NULL, so a bare
+            # negated filter would silently drop NULL-evaluating rows
+            # too. coalesce(pred, false) keeps them — matching the
+            # affected-bucket detection above, which already treats
+            # NULL as non-matching.
             parts.append(
                 self._read_buckets(existing_dirs).filter(
-                    ~F.expr(predicate_sql)
+                    ~F.coalesce(F.expr(predicate_sql), F.lit(False))
                 )
             )
         if replacement is not None:
@@ -239,7 +288,7 @@ class SnapshotTable:
         for b in affected:
             buckets.pop(int(b), None)
         buckets.update(staged)
-        return self._publish(buckets)
+        return self._publish(buckets, base)
 
     # -- maintenance --------------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> list:
