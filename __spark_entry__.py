@@ -340,6 +340,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["within_full_geometry"] = within_full_geometry
 
+    def shave_within_style(spark, sf_dir):
+        # style-filter ["within"] routed through FULL-geometry
+        # evaluation: shave(vertex_df=...) computes per-feature
+        # verdicts over the vertex table (one window+agg pass, one
+        # equi-join) and the compiled filter binds them in place of
+        # the row-level point form — so a user shaving a LineString
+        # layer through the normal shave() API gets mbgl whole-
+        # geometry semantics (/root/reference/src/filters.cpp:108-121),
+        # not vertex-collapsed point semantics.
+        register_views(spark, sf_dir)
+        style = {
+            "layers": [{"source-layer": "road", "filter": ["within", GEOFENCE]}]
+        }
+        out = shave(
+            features_with_props(spark),
+            Filters(style_to_filters(style)),
+            zoom=16,
+            maxzoom=16,
+            vertex_df=spark.table("vertices_v"),
+        )
+        return out.select("feature_id", "layer", "geom_type")
+
+    q["shave_within_style"] = shave_within_style
+
     # --- tiling / cells (G1, G2, G7) -------------------------------------
     def tile_assign(spark, sf_dir):
         register_views(spark, sf_dir)
@@ -850,6 +874,39 @@ SELECT feature_id, layer, geom_type,
             WHEN geom_type = 'LineString' THEN all_in = 1 AND any_cross = 0
             ELSE FALSE END AS within
 FROM ag
+""")
+
+    # shave() with a style whose filter is ["within", GEOFENCE], routed
+    # through the full-geometry path: road features (zoom gate passes at
+    # 16) whose WHOLE geometry is within — same verdict CTE as
+    # within_full_geometry, semi-joined against the feature rows
+    o["shave_within_style"] = _oracle(f"""
+, sv AS (
+  SELECT feature_id, layer, geom_type, lon, lat,
+         CASE WHEN {inside_sql} THEN 1 ELSE 0 END AS inside,
+         lead(lon) OVER w AS nlon,
+         lead(lat) OVER w AS nlat,
+         lead(path_idx) OVER w AS npath,
+         path_idx
+  FROM vertices_v
+  WINDOW w AS (PARTITION BY feature_id ORDER BY path_idx, vertex_idx)
+),
+ag AS (
+  SELECT feature_id, layer, geom_type,
+         MIN(inside) AS all_in,
+         MAX(CASE WHEN nlon IS NOT NULL AND npath = path_idx
+                       AND {cross_sql}
+                  THEN 1 ELSE 0 END) AS any_cross
+  FROM sv GROUP BY 1, 2, 3
+)
+SELECT f.feature_id, f.layer, f.geom_type
+FROM features_v f
+JOIN ag ON ag.feature_id = f.feature_id AND ag.layer = f.layer
+WHERE f.layer = 'road'
+  AND f.geom_type IN ('Point', 'LineString', 'Polygon')
+  AND (CASE WHEN f.geom_type = 'Point' THEN ag.all_in = 1
+            WHEN f.geom_type = 'LineString' THEN ag.all_in = 1 AND ag.any_cross = 0
+            ELSE FALSE END)
 """)
 
     tx5 = geo.tile_x_sql("lon", 5)

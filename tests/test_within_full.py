@@ -186,3 +186,56 @@ def test_real_tile_linestring_shave(spark):
     )
     assert max_kept_lon <= (lon_min + lon_max) / 2.0
     verts.unpersist()
+
+
+def test_style_filter_within_routes_full_geometry(spark):
+    """A style whose filter contains ["within"] shaved through the
+    NORMAL shave() API with vertex_df must get full-geometry verdicts:
+    a LineString whose vertices are all in the fill but whose segment
+    crosses the hole is dropped (point/vertex-form would keep it), and
+    negation composes (["!", within] keeps exactly that line)."""
+    from vtshaver_spark import Filters, style_to_filters
+    from vtshaver_spark.operators.shave import shave
+
+    feats = spark.createDataFrame(
+        [
+            (16, 0, 0, "road", 1, "LineString", {"class": "street"}),
+            (16, 0, 0, "road", 3, "LineString", {"class": "street"}),
+            (16, 0, 0, "road", 10, "Polygon", {"class": "street"}),
+        ],
+        "z int, x bigint, y bigint, layer string, feature_id bigint, "
+        "geom_type string, props map<string,string>",
+    )
+    verts = spark.createDataFrame(
+        [
+            # feature 1: crosses the hole (all vertices in the fill)
+            (16, 0, 0, "road", 1, "LineString", 0, 0, 3.0, 5.0),
+            (16, 0, 0, "road", 1, "LineString", 0, 1, 7.0, 5.0),
+            # feature 3: fully inside
+            (16, 0, 0, "road", 3, "LineString", 0, 0, 1.0, 1.0),
+            (16, 0, 0, "road", 3, "LineString", 0, 1, 2.0, 1.5),
+            # feature 10: polygon (never within)
+            (16, 0, 0, "road", 10, "Polygon", 0, 0, 1.0, 1.0),
+            (16, 0, 0, "road", 10, "Polygon", 0, 1, 2.0, 1.0),
+            (16, 0, 0, "road", 10, "Polygon", 0, 2, 1.0, 1.0),
+        ],
+        "z int, x bigint, y bigint, layer string, feature_id bigint, "
+        "geom_type string, path_idx int, vertex_idx int, lon double, lat double",
+    )
+    style = {"layers": [{"source-layer": "road", "filter": ["within", DONUT]}]}
+    kept = shave(
+        feats, Filters(style_to_filters(style)), zoom=16, maxzoom=16,
+        vertex_df=verts,
+    )
+    assert {r["feature_id"] for r in kept.collect()} == {3}
+
+    neg = {"layers": [{"source-layer": "road",
+                       "filter": ["!", ["within", DONUT]]}]}
+    kept_neg = shave(
+        feats, Filters(style_to_filters(neg)), zoom=16, maxzoom=16,
+        vertex_df=verts,
+    )
+    # full-geometry negation: crossing line and the Polygon (never
+    # within) survive; without vertex_df this style would need lon/lat
+    # row columns (point form) — the route is what makes it evaluable
+    assert {r["feature_id"] for r in kept_neg.collect()} == {1, 10}

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Any, Union
+from typing import Any, Callable, Optional, Union
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -54,6 +54,13 @@ class FilterContext:
     feature_id: str = "feature_id"
     zoom: Union[float, Column] = 0.0
     env: dict = field(default_factory=dict)  # ["let"/"var"] bindings
+    # full-geometry ["within"] hook: when set, _op_within calls this
+    # with the normalized Polygon/MultiPolygon dict and uses the
+    # returned Column as the verdict instead of the row-level point
+    # form — shave() binds it to per-feature verdict columns joined
+    # from the vertex table (operators/within.feature_within_multi),
+    # giving mbgl whole-geometry semantics through the style path
+    within_resolver: Optional[Callable[[dict], Column]] = None
 
     def zoom_col(self) -> Column:
         if isinstance(self.zoom, Column):
@@ -979,6 +986,11 @@ class _Expr:
             geom = geom.get("geometry", {})
         if geom.get("type") not in ("Polygon", "MultiPolygon"):
             raise FilterError("'within' supports Polygon/MultiPolygon only")
+        if self.ctx.within_resolver is not None:
+            # full-geometry route: shave() joins per-feature verdicts
+            # computed over the vertex table and hands back the bound
+            # verdict Column (mbgl whole-geometry semantics)
+            return self.ctx.within_resolver(geom), "boolean"
         from vtshaver_spark.functions.geo import point_in_polygon_col
 
         return point_in_polygon_col(F.col("lon"), F.col("lat"), geom), "boolean"

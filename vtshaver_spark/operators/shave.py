@@ -59,6 +59,7 @@ def compile_shave_columns(
     props_col: str = "props",
     geom_type_col: str = "geom_type",
     feature_id_col: str = "feature_id",
+    within_resolver=None,
 ) -> tuple:
     """Compile a style into (keep predicate, projected-props Column).
 
@@ -90,6 +91,7 @@ def compile_shave_columns(
         geom_type=geom_type_col,
         feature_id=feature_id_col,
         zoom=zoom_col,
+        within_resolver=within_resolver,
     )
     layer = F.col(layer_col)
 
@@ -142,6 +144,8 @@ def shave(
     props_col: str = "props",
     geom_type_col: str = "geom_type",
     feature_id_col: str = "feature_id",
+    vertex_df: Optional[DataFrame] = None,
+    within_keys=("z", "x", "y", "layer", "feature_id"),
 ) -> DataFrame:
     """Shave a features DataFrame with a compiled style.
 
@@ -149,11 +153,55 @@ def shave(
     Column (per-row, e.g. ``F.col("z")`` to shave every zoom level in
     one pass — the scale path), or None (defaults to ``F.col("z")``).
     ``maxzoom`` is the *tileset* maxzoom for the overzoom rule.
+
+    ``vertex_df``: pass the per-vertex table (one row per decoded
+    geometry vertex, the ``sources.mvt.decode_tile_points`` shape) to
+    evaluate any ``["within", geojson]`` in the style's filters over
+    the FULL feature geometry — mbgl semantics, which the reference
+    inherits (/root/reference/src/filters.cpp:108-121): every vertex
+    inside AND no segment properly crossing the polygon boundary.
+    Without it, ``within`` falls back to the row-level point form
+    (documented in functions/expr._op_within). All distinct within
+    geometries share ONE window+aggregate pass over the vertex table
+    and ONE equi-join on ``within_keys`` — two keyed shuffles total
+    at any style complexity; features with no vertex rows count as
+    not-within.
     """
+    if vertex_df is None:
+        keep, projected = compile_shave_columns(
+            filters, zoom, maxzoom, layer_col, props_col, geom_type_col,
+            feature_id_col,
+        )
+        return df.filter(keep).withColumn(props_col, projected)
+
+    from vtshaver_spark.operators.within import feature_within_multi
+
+    geoms: list = []
+
+    def resolver(geom: dict) -> Column:
+        for i, g in enumerate(geoms):
+            if g == geom:
+                return F.col(f"_within_{i}")
+        geoms.append(geom)
+        return F.col(f"_within_{len(geoms) - 1}")
+
     keep, projected = compile_shave_columns(
-        filters, zoom, maxzoom, layer_col, props_col, geom_type_col, feature_id_col
+        filters, zoom, maxzoom, layer_col, props_col, geom_type_col,
+        feature_id_col, within_resolver=resolver,
     )
-    return df.filter(keep).withColumn(props_col, projected)
+    if not geoms:
+        return df.filter(keep).withColumn(props_col, projected)
+
+    keys = [k for k in within_keys if k in df.columns and k in vertex_df.columns]
+    flag_cols = [f"_within_{i}" for i in range(len(geoms))]
+    verdicts = feature_within_multi(
+        vertex_df, geoms, keys=keys, geom_type_col=geom_type_col,
+        out_cols=flag_cols,
+    ).select(*keys, *flag_cols)
+    aug = df.join(verdicts, on=keys, how="left")
+    for c in flag_cols:
+        aug = aug.withColumn(c, F.coalesce(F.col(c), F.lit(False)))
+    return aug.filter(keep).withColumn(props_col, projected).drop(*flag_cols)
 
 
 def shave_with_metrics(

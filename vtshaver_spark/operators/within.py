@@ -47,23 +47,30 @@ from vtshaver_spark.functions.geo import (
 )
 
 
-def feature_within(
+def feature_within_multi(
     vertex_df: DataFrame,
-    geom: dict,
+    geoms: Sequence[dict],
     keys: Sequence[str] = ("z", "x", "y", "layer", "feature_id"),
     geom_type_col: str = "geom_type",
     path_col: str = "path_idx",
     vertex_col: str = "vertex_idx",
     lon: str = "lon",
     lat: str = "lat",
+    out_cols: Sequence[str] = None,
 ) -> DataFrame:
-    """Reduce vertex rows to one ``within: boolean`` row per feature.
+    """Reduce vertex rows to one row per feature carrying a boolean
+    verdict column PER polygon in ``geoms`` — all geometries share the
+    single window + aggregate pass (one keyed shuffle regardless of
+    how many ``within`` expressions a style contains).
 
     ``vertex_df`` needs one row per geometry vertex carrying ``keys``,
     the geometry type, a path index (ring/part; pass ``None`` for
     single-path data), a vertex order column, and lon/lat.
+    ``out_cols`` names the verdict columns (default within_0..n-1).
     """
     keys = [k for k in keys if k in vertex_df.columns]
+    if out_cols is None:
+        out_cols = [f"within_{i}" for i in range(len(geoms))]
     order = [path_col, vertex_col] if path_col and path_col in vertex_df.columns else [vertex_col]
     w = Window.partitionBy(*keys).orderBy(*order)
 
@@ -75,28 +82,57 @@ def feature_within(
         if path_col and path_col in vertex_df.columns
         else F.lit(True)
     )
-    seg_cross = F.when(
-        nlon.isNotNull() & same_path,
-        segment_crosses_col(lon_c, lat_c, nlon, nlat, geom),
-    ).otherwise(F.lit(False))
-
-    flags = vertex_df.withColumn(
-        "_in", point_in_polygon_col(lon_c, lat_c, geom)
-    ).withColumn("_cross", seg_cross)
+    flags = vertex_df
+    for i, geom in enumerate(geoms):
+        seg_cross = F.when(
+            nlon.isNotNull() & same_path,
+            segment_crosses_col(lon_c, lat_c, nlon, nlat, geom),
+        ).otherwise(F.lit(False))
+        flags = flags.withColumn(
+            f"_in_{i}", point_in_polygon_col(lon_c, lat_c, geom)
+        ).withColumn(f"_cross_{i}", seg_cross)
 
     agg = flags.groupBy(*keys, geom_type_col).agg(
-        F.bool_and("_in").alias("_all_in"),
-        F.bool_or("_cross").alias("_any_cross"),
+        *[F.bool_and(f"_in_{i}").alias(f"_all_in_{i}") for i in range(len(geoms))],
+        *[F.bool_or(f"_cross_{i}").alias(f"_any_cross_{i}") for i in range(len(geoms))],
     )
-    verdict = (
-        F.when(F.col(geom_type_col) == "Point", F.col("_all_in"))
-        .when(
-            F.col(geom_type_col) == "LineString",
-            F.col("_all_in") & ~F.col("_any_cross"),
+    verdicts = []
+    for i, name in enumerate(out_cols):
+        verdicts.append(
+            F.when(F.col(geom_type_col) == "Point", F.col(f"_all_in_{i}"))
+            .when(
+                F.col(geom_type_col) == "LineString",
+                F.col(f"_all_in_{i}") & ~F.col(f"_any_cross_{i}"),
+            )
+            .otherwise(F.lit(False))
+            .alias(name)
         )
-        .otherwise(F.lit(False))
+    return agg.select(*keys, geom_type_col, *verdicts)
+
+
+def feature_within(
+    vertex_df: DataFrame,
+    geom: dict,
+    keys: Sequence[str] = ("z", "x", "y", "layer", "feature_id"),
+    geom_type_col: str = "geom_type",
+    path_col: str = "path_idx",
+    vertex_col: str = "vertex_idx",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Reduce vertex rows to one ``within: boolean`` row per feature
+    (single-polygon form of ``feature_within_multi``)."""
+    return feature_within_multi(
+        vertex_df,
+        [geom],
+        keys=keys,
+        geom_type_col=geom_type_col,
+        path_col=path_col,
+        vertex_col=vertex_col,
+        lon=lon,
+        lat=lat,
+        out_cols=["within"],
     )
-    return agg.select(*keys, geom_type_col, verdict.alias("within"))
 
 
 def shave_within(
