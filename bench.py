@@ -304,11 +304,18 @@ def one_run(
         # run-to-run noise (shared tenancy); the minimum is the
         # least-contended estimate
         results = [run_suite(spark, sf_dir, replicate, subset) for _ in range(passes)]
+        per_pass_totals = [r["total_sec"] for r in results]  # before best mutates results[0]
         best = results[0]
         best["timings"] = {
             k: min(r["timings"][k] for r in results) for k in best["timings"]
         }
         best["total_sec"] = round(sum(best["timings"].values()), 3)
+        # make the measurement discipline visible in the artifact: the
+        # per-query numbers are minima over `passes` timed rounds (plus
+        # one untimed warmup), per CLAUDE.md's noise rules — a consumer
+        # comparing rounds must not read them as one sequential pass
+        best["rounds"] = passes
+        best["per_pass_total_sec"] = per_pass_totals
         # recompute derived throughputs from the MIN-merged timings —
         # r2 reported them from pass 1's wall time, so one contended
         # pass poisoned rows_per_sec even when the minima were clean
@@ -426,13 +433,16 @@ def main():
         _write_bench_md(rel, ker, sf_dir, codec=codec)
         return
 
-    result = one_run(cpus, sf_dir)
+    passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
+    result = one_run(cpus, sf_dir, passes=passes)
     out = {
         "metric": "engine suite wall time (shave + tile/s2 + knn + pip + dedup + lsh + ann)",
         "value": result["total_sec"],
         "unit": "sec",
         "queries": result["timings"],
         "sf": float(sf),
+        "min_of_rounds": result["rounds"],
+        "per_pass_total_sec": result["per_pass_total_sec"],
         "rows_per_sec": result["rows_per_sec"],
         "shaved_joined_rows_per_sec": result["shaved_joined_rows_per_sec"],
         "counts": result["counts"],
