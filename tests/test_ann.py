@@ -148,3 +148,37 @@ def test_trained_centroids_beat_seed_recall(spark):
         ivf_cosine_topk(emb, queries, k=5, n_probe=4, centroids=cent)
     )
     assert trained_recall > seed_recall, (seed_recall, trained_recall)
+
+
+def test_train_centroids_high_dim_matches_numpy(spark):
+    """The r4 vector-sum aggregate (Summarizer over VectorUDT — one
+    shuffled row per centroid at ANY dimension, vs the pre-r4 plan's
+    dim separate sum columns) must reproduce the exact brute-force
+    spherical k-means-lite step at dim=128."""
+    from vtshaver_spark.operators.ann import train_centroids
+
+    dim, n, k = 128, 120, 8
+    mat = np.array(
+        [[(_u(f"hd/{i}/{d}") * 2.0 - 1.0) for d in range(dim)] for i in range(n)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = train_centroids(df, n_centroids=k, n_iters=1)
+
+    # numpy reference: identical seed (first k by id, unit-norm),
+    # cosine argmax assignment, mean + renormalize, empty keeps seed
+    seed = mat[:k] / np.linalg.norm(mat[:k], axis=1, keepdims=True)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    assign = np.argmax(unit @ seed.T, axis=1)
+    want = seed.copy()
+    for c in range(k):
+        members = mat[assign == c]
+        if len(members):
+            m = members.mean(axis=0)
+            nrm = np.linalg.norm(m)
+            if nrm > 0:
+                want[c] = m / nrm
+    assert got.shape == (k, dim)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)

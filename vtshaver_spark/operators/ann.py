@@ -355,35 +355,43 @@ def train_centroids(
 
     Seed = first ``n_centroids`` by id (the r2 'degenerate' choice,
     now only a starting point); each iteration is one map-only Arrow
-    argmax assignment plus ONE hash aggregation of per-dimension sums
-    (dim x n_centroids doubles — driver-sized), then a driver-side
+    argmax assignment plus ONE vector-sum hash aggregation
+    (``pyspark.ml.stat.Summarizer`` over a VectorUDT column — a JVM
+    Aggregator with map-side partial merges), then a driver-side
     mean + renormalize. Empty clusters keep their previous centroid.
     No RNG anywhere, so the result is reproducible run-to-run and
     cluster-size-independent (sums are associative).
 
     100 TB shape: per iteration the corpus is touched once map-side;
-    the aggregate's shuffle is n_centroids rows of dim sums with
-    map-side partials. n_iters is small (1-3 captures most of the
-    recall gain; see tests/test_ann.py recall assertion).
+    the aggregate shuffles exactly ``n_centroids`` rows each carrying
+    one dim-length sum vector, regardless of dimension — the pre-r4
+    formulation compiled ``dim`` separate sum expressions per pass
+    (700+ aggregate columns at 768-dim production embeddings); this
+    plan is dimension-invariant. n_iters is small (1-3 captures most
+    of the recall gain; see tests/test_ann.py recall assertion).
+
+    ``dim`` is no longer needed (the vector aggregate carries its own
+    length); accepted for API compatibility and ignored.
     """
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
     cent = _seed_centroids(vectors, n_centroids, vec_id, vec_col)
     v = vectors.select(F.col(vec_col).cast("array<double>").alias("_vv"))
     for _ in range(n_iters):
         assigned = _assign_centroids(v, cent)
         sums = (
-            assigned.groupBy("_cent")
+            assigned.select("_cent", array_to_vector(F.col("_vv")).alias("_v"))
+            .groupBy("_cent")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
-                *[F.sum(F.col("_vv")[i]).alias(f"_s{i}") for i in range(dim)],
+                Summarizer.sum(F.col("_v")).alias("_s"),
             )
             .collect()
         )
         new = cent.copy()
         for r in sums:
-            mean = np.array([r[f"_s{i}"] for i in range(dim)], dtype=np.float64)
-            mean /= r["_n"]
+            mean = np.asarray(r["_s"].toArray(), dtype=np.float64) / r["_n"]
             norm = np.linalg.norm(mean)
             if norm > 0:
                 new[r["_cent"]] = mean / norm
