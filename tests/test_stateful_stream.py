@@ -1,9 +1,24 @@
 """Stateful streaming dedup: keys emit once across micro-batches."""
 
+import os
+import time
+
 import pytest
 from pyspark.sql import functions as F
 
 from vtshaver_spark.streaming.stateful import stream_dedup
+
+
+def _stamp(path: str, order: int) -> None:
+    """Force a strictly ascending mtime per source file/dir: the file
+    stream source orders batches by modification time, and parquet
+    dirs written milliseconds apart can share an mtime under load —
+    which reorders maxFilesPerTrigger=1 batches and flips
+    order-dependent assertions (observed as a full-suite-only flake)."""
+    t = time.time() - 3600 + order * 60
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (t, t))
 
 
 def test_stream_dedup(spark, tmp_path):
@@ -56,10 +71,12 @@ def test_stream_sessionize(spark, tmp_path):
     spark.createDataFrame(
         [row(1, 0, 1.0), row(1, 5, 2.0), row(2, 0, 5.0)], schema
     ).write.parquet(src + "/f1")
+    _stamp(src + "/f1", 1)
     # batch 2: user 1 returns 90 min later -> closes session #1
     spark.createDataFrame(
         [row(1, 95, 3.0), row(2, 10, 5.0)], schema
     ).write.parquet(src + "/f2")
+    _stamp(src + "/f2", 2)
 
     stream = (
         spark.readStream.schema(schema)
@@ -111,15 +128,18 @@ def test_stream_sessionize_event_time_closure(spark, tmp_path):
     spark.createDataFrame(
         [row(1, 0, 1.0), row(1, 5, 2.0)], schema
     ).write.parquet(src + "/f1")
+    _stamp(src + "/f1", 1)
     # batch 2: OTHER user far in the future advances the watermark
     spark.createDataFrame([row(2, 120, 5.0)], schema).write.parquet(
         src + "/f2"
     )
+    _stamp(src + "/f2", 2)
     # batch 3: another late-arriving user keeps the stream moving so
     # the timeout (armed at 35 min, watermark now 120) fires
     spark.createDataFrame([row(3, 130, 7.0)], schema).write.parquet(
         src + "/f3"
     )
+    _stamp(src + "/f3", 3)
     # batch 4: one more advancing batch — the watermark lags one batch
     # and a timeout clamped to wm+1 (when a session starts AFTER the
     # watermark already passed its due time) needs the NEXT strictly
@@ -128,6 +148,7 @@ def test_stream_sessionize_event_time_closure(spark, tmp_path):
     spark.createDataFrame([row(4, 140, 9.0)], schema).write.parquet(
         src + "/f4"
     )
+    _stamp(src + "/f4", 4)
 
     stream = (
         spark.readStream.schema(schema)
