@@ -60,8 +60,18 @@ def pip_rect_join(
     Degenerate rects (min > max) still return no rows — F.sequence
     would descend, but the residual range predicate rejects every
     candidate.
+
+    The (cx, cy) pair is packed into ONE long key (cx * 2^30 + cy,
+    valid to z=29): Spark's HashedRelation has a dedicated
+    LongHashedRelation fast path for a single long key, while a
+    two-column key falls back to generic UnsafeRow hashing — measured
+    4.6x slower on a 307M-point probe (22.1s -> 4.8s at 8 cores; the
+    unpacked form was even slower than the BNL it replaced).
     """
     from vtshaver_spark.functions.geo import tile_x, tile_y
+
+    def packed(cx, cy):
+        return cx * F.lit(1 << 30) + cy
 
     cover = rects.select(
         poly_id, "lon_min", "lat_min", "lon_max", "lat_max"
@@ -76,14 +86,13 @@ def pip_rect_join(
         F.explode(
             F.sequence(tile_y("lat_max", cell_zoom), tile_y("lat_min", cell_zoom))
         ).alias("_cy"),
-    )
+    ).withColumn("_ck", packed(F.col("_cx"), F.col("_cy"))).drop("_cx", "_cy")
     r = F.broadcast(cover)
-    p = points.withColumn("_cx", tile_x("lon", cell_zoom)).withColumn(
-        "_cy", tile_y("lat", cell_zoom)
+    p = points.withColumn(
+        "_ck", packed(tile_x("lon", cell_zoom), tile_y("lat", cell_zoom))
     )
     cond = (
-        (p["_cx"] == r["_cx"])
-        & (p["_cy"] == r["_cy"])
+        (p["_ck"] == r["_ck"])
         & (p["lon"] >= r["lon_min"])
         & (p["lon"] < r["lon_max"])
         & (p["lat"] >= r["lat_min"])
@@ -91,8 +100,8 @@ def pip_rect_join(
     )
     return (
         p.join(r, cond)
-        .drop(r["_cx"]).drop(r["_cy"])
-        .drop("lon_min", "lat_min", "lon_max", "lat_max", "_cx", "_cy")
+        .drop(r["_ck"])
+        .drop("lon_min", "lat_min", "lon_max", "lat_max", "_ck")
     )
 
 
