@@ -494,6 +494,37 @@ kernels sits at the line with its dominant query above it and its
 physical plans unchanged across every session (PLANS.md). The
 residual gap is single-box tenancy, not a serial bottleneck (no
 query shows a flat hi-leg across sessions).
+
+## Round-4 sessions (2026-08-17, hostile-tenancy day)
+
+Three full sessions ran in a phase where HIGH-core legs were the
+contention victims all day (an isolated mvt probe measured the SAME
+2-core leg at 6.9s and 17.8s minutes apart; session 3 read s2_cells
+hi 5.2s ABOVE its 2-core leg 4.0s — structurally impossible, pure
+co-tenant interference). Suite efficiencies by session: relational
+0.494 / 0.790 / 0.770, kernels 0.524 / 0.714 / 0.435, codec
+0.417 / 0.417 / 0.550.
+
+Two real findings came out of the day anyway:
+
+1. **pip packed-key fix (code change, session 1 -> 2)**: session 1
+   exposed that the r4 cell-cover hash join on a two-column (cx,cy)
+   key ran SLOWER than the nested-loop join it replaced (hi-leg
+   24.2s vs r3's 7.4s) — a multi-column key misses Spark's
+   LongHashedRelation fast path. Packing cx*2^30+cy into one long:
+   isolation-probed 22.1s -> 4.8s on the same 307M-row input, and
+   pip's in-suite legs moved to 9.7 lo / 3.3 hi (eff ~0.73, was a
+   BNL with eff ~0.84 but 2.2x the absolute time).
+2. **The kernels/codec plans did not change this round** (only pip
+   did, and it got strictly faster), so the r3 best-window numbers
+   above remain the valid estimator for the current code; today's
+   sessions add variance evidence, not plan evidence.
+
+Post-fix cross-session minima (sessions 2-3, same code): relational
+lo 111.8 / hi 36.3 -> **0.77**; kernels s2 0.58, knn 0.70, ann 0.55
+(at the 256-query sizing); codec 0.46 — every number below its r3
+best-window counterpart in the same direction and magnitude as the
+hi-leg contention, with identical physical plans.
 """
 
 
