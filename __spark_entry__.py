@@ -364,6 +364,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shave_within_style"] = shave_within_style
 
+    def shave_distance_style(spark, sf_dir):
+        # style-filter ["distance"] routed through FULL-geometry
+        # evaluation: per-feature MIN vertex distance (exact for the
+        # Point features this layer holds), computed in the same
+        # one-pass vertex aggregation as within verdicts and joined
+        # once — vs the row-level point form that needs lon/lat row
+        # columns the feature table doesn't have.
+        register_views(spark, sf_dir)
+        style = {
+            "layers": [{
+                "source-layer": "poi_label",
+                "filter": [
+                    "<",
+                    ["distance", {"type": "Point", "coordinates": [-122.0, 38.0]}],
+                    600000,
+                ],
+            }]
+        }
+        out = shave(
+            features_with_props(spark),
+            Filters(style_to_filters(style)),
+            zoom=16,
+            maxzoom=16,
+            vertex_df=spark.table("vertices_v"),
+        )
+        return out.select("feature_id", "layer", "geom_type")
+
+    q["shave_distance_style"] = shave_distance_style
+
     # --- tiling / cells (G1, G2, G7) -------------------------------------
     def tile_assign(spark, sf_dir):
         register_views(spark, sf_dir)
@@ -907,6 +936,23 @@ WHERE f.layer = 'road'
   AND (CASE WHEN f.geom_type = 'Point' THEN ag.all_in = 1
             WHEN f.geom_type = 'LineString' THEN ag.all_in = 1 AND ag.any_cross = 0
             ELSE FALSE END)
+""")
+
+    # shave() with a style filter ["<", ["distance", Point], r] routed
+    # through the full-geometry path: per-feature MIN vertex haversine
+    # (bit-identical formula on both engines via haversine_m_sql)
+    hav = geo.haversine_m_sql("lon", "lat", -122.0, 38.0)
+    o["shave_distance_style"] = _oracle(f"""
+, dv AS (
+  SELECT feature_id, layer, MIN({hav}) AS dmin
+  FROM vertices_v GROUP BY 1, 2
+)
+SELECT f.feature_id, f.layer, f.geom_type
+FROM features_v f
+JOIN dv ON dv.feature_id = f.feature_id AND dv.layer = f.layer
+WHERE f.layer = 'poi_label'
+  AND f.geom_type IN ('Point', 'LineString', 'Polygon')
+  AND dv.dmin < 600000
 """)
 
     tx5 = geo.tile_x_sql("lon", 5)

@@ -239,3 +239,61 @@ def test_style_filter_within_routes_full_geometry(spark):
     # within) survive; without vertex_df this style would need lon/lat
     # row columns (point form) — the route is what makes it evaluable
     assert {r["feature_id"] for r in kept_neg.collect()} == {1, 10}
+
+    # metrics path takes the same route: before/after counts reflect
+    # whole-geometry semantics
+    from vtshaver_spark.operators.shave import shave_with_metrics
+
+    style2 = {"layers": [{"source-layer": "road", "filter": ["within", DONUT]}]}
+    shaved, metrics = shave_with_metrics(
+        feats, Filters(style_to_filters(style2)), zoom=16, maxzoom=16,
+        vertex_df=verts,
+    )
+    assert {r["feature_id"] for r in shaved.collect()} == {3}
+    m = metrics.collect()[0]
+    assert m["features_before"] == 3 and m["features_after"] == 1
+
+
+def test_style_filter_distance_routes_full_geometry(spark):
+    """["distance"] in a style filter with vertex_df binds the
+    per-feature MIN vertex distance: near Point kept, far Point
+    dropped, LineString judged by its CLOSEST vertex, and a feature
+    with no vertex rows never matches (NULL distance)."""
+    from vtshaver_spark import Filters, style_to_filters
+    from vtshaver_spark.operators.shave import shave
+
+    feats = spark.createDataFrame(
+        [
+            (16, 0, 0, "poi", 1, "Point", {"k": "v"}),
+            (16, 0, 0, "poi", 2, "Point", {"k": "v"}),
+            (16, 0, 0, "poi", 3, "LineString", {"k": "v"}),
+            (16, 0, 0, "poi", 4, "Point", {"k": "v"}),  # no vertices
+        ],
+        "z int, x bigint, y bigint, layer string, feature_id bigint, "
+        "geom_type string, props map<string,string>",
+    )
+    verts = spark.createDataFrame(
+        [
+            (16, 0, 0, "poi", 1, "Point", 0, 0, 0.0, 0.0),        # at origin
+            (16, 0, 0, "poi", 2, "Point", 0, 0, 10.0, 10.0),      # ~1560 km away
+            (16, 0, 0, "poi", 3, "LineString", 0, 0, 9.0, 9.0),   # far vertex
+            (16, 0, 0, "poi", 3, "LineString", 0, 1, 0.1, 0.1),   # near vertex
+        ],
+        "z int, x bigint, y bigint, layer string, feature_id bigint, "
+        "geom_type string, path_idx int, vertex_idx int, lon double, lat double",
+    )
+    style = {
+        "layers": [{
+            "source-layer": "poi",
+            "filter": [
+                "<",
+                ["distance", {"type": "Point", "coordinates": [0.0, 0.0]}],
+                100000,
+            ],
+        }]
+    }
+    kept = shave(
+        feats, Filters(style_to_filters(style)), zoom=16, maxzoom=16,
+        vertex_df=verts,
+    )
+    assert {r["feature_id"] for r in kept.collect()} == {1, 3}

@@ -61,6 +61,11 @@ class FilterContext:
     # from the vertex table (operators/within.feature_within_multi),
     # giving mbgl whole-geometry semantics through the style path
     within_resolver: Optional[Callable[[dict], Column]] = None
+    # full-geometry ["distance"] hook: called with (lon, lat) of the
+    # literal Point; the returned Column is the per-feature MIN
+    # vertex distance in meters (exact for Point features, an upper
+    # bound for LineStrings) instead of the row-level point form
+    distance_resolver: Optional[Callable[[float, float], Column]] = None
 
     def zoom_col(self) -> Column:
         if isinstance(self.zoom, Column):
@@ -1006,6 +1011,10 @@ class _Expr:
         if geom.get("type") != "Point":
             raise FilterError("'distance' supports Point geometry only")
         glon, glat = geom["coordinates"][:2]
+        if self.ctx.distance_resolver is not None:
+            # full-geometry route: per-feature MIN vertex distance
+            # bound by shave() from the vertex table
+            return self.ctx.distance_resolver(float(glon), float(glat)), "number"
         from vtshaver_spark.functions.geo import haversine_m
 
         return haversine_m(F.col("lon"), F.col("lat"), F.lit(float(glon)), F.lit(float(glat))), "number"

@@ -251,6 +251,21 @@ def segment_crosses_sql(
     return "(" + " OR ".join(terms) + ")"
 
 
+def haversine_m_sql(lon_expr: str, lat_expr: str, lon2: float, lat2: float) -> str:
+    """SQL parity form of ``haversine_m`` against a literal point —
+    identical operation order so both engines produce bit-equal
+    doubles (RADIANS/SIN/COS/ASIN/SQRT are dialect-neutral)."""
+    p1 = f"RADIANS({lat_expr})"
+    p2 = f"RADIANS({lat2!r})"
+    dphi2 = f"(({p2} - {p1}) / 2)"
+    dlmb2 = f"(RADIANS({lon2!r} - {lon_expr}) / 2)"
+    a = (
+        f"(SIN({dphi2}) * SIN({dphi2}) + "
+        f"COS({p1}) * COS({p2}) * SIN({dlmb2}) * SIN({dlmb2}))"
+    )
+    return f"(12742000.0 * ASIN(SQRT({a})))"
+
+
 def grid_disk_tile(cell: int, k: int = 1) -> list:
     """Neighbor disk of a packed tile cell (``tile_cell`` layout):
     the (2k+1)^2 cells within Chebyshev distance k — x wraps at the

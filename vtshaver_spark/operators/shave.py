@@ -60,6 +60,7 @@ def compile_shave_columns(
     geom_type_col: str = "geom_type",
     feature_id_col: str = "feature_id",
     within_resolver=None,
+    distance_resolver=None,
 ) -> tuple:
     """Compile a style into (keep predicate, projected-props Column).
 
@@ -92,6 +93,7 @@ def compile_shave_columns(
         feature_id=feature_id_col,
         zoom=zoom_col,
         within_resolver=within_resolver,
+        distance_resolver=distance_resolver,
     )
     layer = F.col(layer_col)
 
@@ -167,16 +169,49 @@ def shave(
     at any style complexity; features with no vertex rows count as
     not-within.
     """
+    aug, keep, projected, flag_cols = _compile_with_geometry(
+        df, filters, zoom, maxzoom, layer_col, props_col, geom_type_col,
+        feature_id_col, vertex_df, within_keys,
+    )
+    return aug.filter(keep).withColumn(props_col, projected).drop(*flag_cols)
+
+
+def _compile_with_geometry(
+    df: DataFrame,
+    filters: Filters,
+    zoom,
+    maxzoom,
+    layer_col: str,
+    props_col: str,
+    geom_type_col: str,
+    feature_id_col: str,
+    vertex_df: Optional[DataFrame],
+    within_keys,
+) -> tuple:
+    """Compile (keep, projected) and, when the style contains
+    ``["within"]`` / ``["distance"]`` and a vertex table is supplied,
+    bind each distinct geometry's per-feature verdict (boolean) /
+    min-vertex-distance (meters) as a joined column.
+
+    Returns (augmented df, keep, projected, bound columns to drop).
+    All distinct geometries — within polygons AND distance points —
+    share ONE window+aggregate pass over the vertex table and ONE
+    equi-join: two keyed shuffles total at any style complexity.
+    Features with no vertex rows count as not-within, and their
+    distances stay NULL (every comparison on them is false — GL
+    absent-geometry semantics).
+    """
     if vertex_df is None:
         keep, projected = compile_shave_columns(
             filters, zoom, maxzoom, layer_col, props_col, geom_type_col,
             feature_id_col,
         )
-        return df.filter(keep).withColumn(props_col, projected)
+        return df, keep, projected, []
 
     from vtshaver_spark.operators.within import feature_within_multi
 
     geoms: list = []
+    points: list = []
 
     def resolver(geom: dict) -> Column:
         for i, g in enumerate(geoms):
@@ -185,23 +220,32 @@ def shave(
         geoms.append(geom)
         return F.col(f"_within_{len(geoms) - 1}")
 
+    def dist_resolver(plon: float, plat: float) -> Column:
+        for j, p in enumerate(points):
+            if p == (plon, plat):
+                return F.col(f"_dist_{j}")
+        points.append((plon, plat))
+        return F.col(f"_dist_{len(points) - 1}")
+
     keep, projected = compile_shave_columns(
         filters, zoom, maxzoom, layer_col, props_col, geom_type_col,
         feature_id_col, within_resolver=resolver,
+        distance_resolver=dist_resolver,
     )
-    if not geoms:
-        return df.filter(keep).withColumn(props_col, projected)
+    if not geoms and not points:
+        return df, keep, projected, []
 
     keys = [k for k in within_keys if k in df.columns and k in vertex_df.columns]
     flag_cols = [f"_within_{i}" for i in range(len(geoms))]
+    dist_cols = [f"_dist_{j}" for j in range(len(points))]
     verdicts = feature_within_multi(
         vertex_df, geoms, keys=keys, geom_type_col=geom_type_col,
-        out_cols=flag_cols,
-    ).select(*keys, *flag_cols)
+        out_cols=flag_cols, distance_points=points, distance_cols=dist_cols,
+    ).select(*keys, *flag_cols, *dist_cols)
     aug = df.join(verdicts, on=keys, how="left")
     for c in flag_cols:
         aug = aug.withColumn(c, F.coalesce(F.col(c), F.lit(False)))
-    return aug.filter(keep).withColumn(props_col, projected).drop(*flag_cols)
+    return aug, keep, projected, flag_cols + dist_cols
 
 
 def shave_with_metrics(
@@ -209,6 +253,8 @@ def shave_with_metrics(
     filters: Filters,
     zoom: Union[float, Column, None] = None,
     maxzoom: Optional[float] = None,
+    vertex_df: Optional[DataFrame] = None,
+    within_keys=("z", "x", "y", "layer", "feature_id"),
     **kwargs,
 ) -> tuple:
     """Shave plus a per-tile metrics DataFrame (the vtshave CLI
@@ -217,10 +263,21 @@ def shave_with_metrics(
     Single-pass metrics: before/after feature counts and property
     bytes come from ONE conditional aggregation over the input — no
     second scan, no join (at 10^12 rows a re-scan is real money).
+
+    ``vertex_df``: same full-geometry ``["within"]`` routing as
+    ``shave`` — when supplied, the metrics aggregation runs over the
+    verdict-augmented rows, so before/after counts reflect whole-
+    geometry semantics too.
     """
-    keep, projected = compile_shave_columns(filters, zoom, maxzoom, **kwargs)
     props_col = kwargs.get("props_col", "props")
-    shaved = df.filter(keep).withColumn(props_col, projected)
+    df, keep, projected, flag_cols = _compile_with_geometry(
+        df, filters, zoom, maxzoom,
+        kwargs.get("layer_col", "layer"), props_col,
+        kwargs.get("geom_type_col", "geom_type"),
+        kwargs.get("feature_id_col", "feature_id"),
+        vertex_df, within_keys,
+    )
+    shaved = df.filter(keep).withColumn(props_col, projected).drop(*flag_cols)
 
     # Approximate encoded size of a row: sum of key/value lengths of its
     # retained properties (a stable stand-in for MVT bytes in row-model).

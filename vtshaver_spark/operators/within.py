@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vtshaver_spark.functions.geo import (
+    haversine_m,
     point_in_polygon_col,
     segment_crosses_col,
 )
@@ -57,6 +58,8 @@ def feature_within_multi(
     lon: str = "lon",
     lat: str = "lat",
     out_cols: Sequence[str] = None,
+    distance_points: Sequence[tuple] = (),
+    distance_cols: Sequence[str] = None,
 ) -> DataFrame:
     """Reduce vertex rows to one row per feature carrying a boolean
     verdict column PER polygon in ``geoms`` — all geometries share the
@@ -67,10 +70,20 @@ def feature_within_multi(
     the geometry type, a path index (ring/part; pass ``None`` for
     single-path data), a vertex order column, and lon/lat.
     ``out_cols`` names the verdict columns (default within_0..n-1).
+
+    ``distance_points``: (lon, lat) literal points; each adds a
+    ``distance_cols[j]`` column = MIN haversine meters over the
+    feature's VERTICES (GL ``["distance"]`` full-geometry form). The
+    vertex-min is exact for Point/MultiPoint features and an upper
+    bound for LineStrings (a segment interior can pass closer than
+    its endpoints) — the conservative direction for "near" filters
+    (``distance < r`` never gains false positives).
     """
     keys = [k for k in keys if k in vertex_df.columns]
     if out_cols is None:
         out_cols = [f"within_{i}" for i in range(len(geoms))]
+    if distance_cols is None:
+        distance_cols = [f"dist_{j}" for j in range(len(distance_points))]
     order = [path_col, vertex_col] if path_col and path_col in vertex_df.columns else [vertex_col]
     w = Window.partitionBy(*keys).orderBy(*order)
 
@@ -92,9 +105,16 @@ def feature_within_multi(
             f"_in_{i}", point_in_polygon_col(lon_c, lat_c, geom)
         ).withColumn(f"_cross_{i}", seg_cross)
 
+    for j, (plon, plat) in enumerate(distance_points):
+        flags = flags.withColumn(
+            f"_d_{j}",
+            haversine_m(lon_c, lat_c, F.lit(float(plon)), F.lit(float(plat))),
+        )
+
     agg = flags.groupBy(*keys, geom_type_col).agg(
         *[F.bool_and(f"_in_{i}").alias(f"_all_in_{i}") for i in range(len(geoms))],
         *[F.bool_or(f"_cross_{i}").alias(f"_any_cross_{i}") for i in range(len(geoms))],
+        *[F.min(f"_d_{j}").alias(f"_dmin_{j}") for j in range(len(distance_points))],
     )
     verdicts = []
     for i, name in enumerate(out_cols):
@@ -107,7 +127,10 @@ def feature_within_multi(
             .otherwise(F.lit(False))
             .alias(name)
         )
-    return agg.select(*keys, geom_type_col, *verdicts)
+    dists = [
+        F.col(f"_dmin_{j}").alias(name) for j, name in enumerate(distance_cols)
+    ]
+    return agg.select(*keys, geom_type_col, *verdicts, *dists)
 
 
 def feature_within(
