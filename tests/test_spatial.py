@@ -117,6 +117,27 @@ def test_pip_polygon_concave(spark):
     assert {r["image_id"] for r in out} == {"in_lower", "in_upper", "in_left"}
 
 
+def test_pip_polygon_holes(spark):
+    """Multi-ring polygon: even-odd over the combined edge set — a
+    point inside the hole is OUTSIDE the polygon (two crossings),
+    matching the GL fill rule the within operator uses."""
+    outer = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]
+    hole = [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]]
+    pts = spark.createDataFrame(
+        [
+            ("in_fill", 2.0, 2.0),
+            ("in_hole", 5.0, 5.0),
+            ("outside", 15.0, 5.0),
+        ],
+        "image_id string, lon double, lat double",
+    )
+    out = pip_polygon_join(pts, [(1, [outer, hole])]).select("image_id").collect()
+    assert {r["image_id"] for r in out} == {"in_fill"}
+    # single-ring spec still works (back-compat)
+    out1 = pip_polygon_join(pts, [(1, outer)]).select("image_id").collect()
+    assert {r["image_id"] for r in out1} == {"in_fill", "in_hole"}
+
+
 def test_pip_rect_plan_is_hash_join(spark, points):
     """The cell-cover rewrite must plan a BroadcastHashJoin on the
     cell keys — the former inequality-only condition forced a

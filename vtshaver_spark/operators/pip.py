@@ -126,18 +126,34 @@ def pip_polygon_join(
     point_id: str = "image_id",
 ) -> DataFrame:
     """Generic PIP: ``polygons`` is a driver-side list of
-    ``(polygon_id, ring)`` where ring is a closed [[lon,lat],...] list.
+    ``(polygon_id, ring)`` where ring is a closed [[lon,lat],...] list
+    — or ``(polygon_id, [ring, hole_ring, ...])`` for polygons with
+    interior rings: the even-odd rule over the COMBINED edge set makes
+    points inside a hole fall outside the polygon (two crossings),
+    matching the GL fill rule the within operator uses.
 
     Output: the point rows with an added ``polygon_id`` (one row per
     containing polygon). Executed as mapInPandas: bbox prune first,
     then the numpy ray-cast on survivors only.
     """
-    polys = [
-        (int(pid), np.asarray(ring, dtype=np.float64)) for pid, ring in polygons
-    ]
+
+    def _as_rings(spec):
+        # single ring = [[x,y],...]; multi-ring = [[[x,y],...], ...]
+        first = spec[0]
+        if first and isinstance(first[0], (list, tuple, np.ndarray)):
+            return [np.asarray(r, dtype=np.float64) for r in spec]
+        return [np.asarray(spec, dtype=np.float64)]
+
+    polys = [(int(pid), _as_rings(spec)) for pid, spec in polygons]
+    # bbox of the OUTER ring (ring 0) bounds the polygon; holes are
+    # interior by definition
     bboxes = [
-        (pid, ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max())
-        for pid, ring in polys
+        (
+            pid,
+            rings[0][:, 0].min(), rings[0][:, 1].min(),
+            rings[0][:, 0].max(), rings[0][:, 1].max(),
+        )
+        for pid, rings in polys
     ]
     out_schema = T.StructType(
         points.schema.fields + [T.StructField("polygon_id", T.LongType(), False)]
@@ -150,12 +166,15 @@ def pip_polygon_join(
             px = pdf["lon"].to_numpy(dtype=np.float64)
             py = pdf["lat"].to_numpy(dtype=np.float64)
             outs = []
-            for (pid, ring), (_, x0, y0, x1, y1) in zip(polys, bboxes):
+            for (pid, rings), (_, x0, y0, x1, y1) in zip(polys, bboxes):
                 cand = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
                 if not cand.any():
                     continue
                 idx = np.flatnonzero(cand)
-                hit = idx[_ray_cast(px[idx], py[idx], ring)]
+                inside = np.zeros(idx.shape[0], dtype=bool)
+                for ring in rings:  # even-odd XOR across all rings
+                    inside ^= _ray_cast(px[idx], py[idx], ring)
+                hit = idx[inside]
                 if hit.size:
                     sub = pdf.iloc[hit].copy()
                     sub["polygon_id"] = pid
