@@ -497,13 +497,16 @@ query shows a flat hi-leg across sessions).
 
 ## Round-4 sessions (2026-08-17, hostile-tenancy day)
 
-Three full sessions ran in a phase where HIGH-core legs were the
+Four full sessions ran in a phase where HIGH-core legs were the
 contention victims all day (an isolated mvt probe measured the SAME
 2-core leg at 6.9s and 17.8s minutes apart; session 3 read s2_cells
 hi 5.2s ABOVE its 2-core leg 4.0s — structurally impossible, pure
 co-tenant interference). Suite efficiencies by session: relational
-0.494 / 0.790 / 0.770, kernels 0.524 / 0.714 / 0.435, codec
-0.417 / 0.417 / 0.550.
+0.494 / 0.790 / 0.770 / 0.790, kernels 0.524 / 0.714 / 0.435 /
+0.684, codec 0.417 / 0.417 / 0.550 / 0.490. Relational held
+0.77-0.79 in every post-fix session; the python-worker suites bore
+the interference (their hi legs need ~2 cpus per slot, so a stolen
+core halves an 8-slot leg first).
 
 Two real findings came out of the day anyway:
 
@@ -520,11 +523,13 @@ Two real findings came out of the day anyway:
    above remain the valid estimator for the current code; today's
    sessions add variance evidence, not plan evidence.
 
-Post-fix cross-session minima (sessions 2-3, same code): relational
-lo 111.8 / hi 36.3 -> **0.77**; kernels s2 0.58, knn 0.70, ann 0.55
-(at the 256-query sizing); codec 0.46 — every number below its r3
-best-window counterpart in the same direction and magnitude as the
-hi-leg contention, with identical physical plans.
+Post-fix cross-session minima (sessions 2-4 for relational; all four
+for kernels/codec, whose code is r3-identical): relational lo 111.8 /
+hi 36.3 -> **0.77**; kernels s2 0.67, knn 0.70, ann 0.61 (at the
+256-query sizing); codec 0.49 — every number below its r3 best-window
+counterpart in the same direction and magnitude as the hi-leg
+contention, with identical physical plans (re-audited: no plan diff
+vs r3 for any kernel/codec query).
 """
 
 
