@@ -93,3 +93,52 @@ def test_shave_tile_cli(style_file, tmp_path, capsys):
     for r in rows:
         by_layer[r["layer"]] = by_layer.get(r["layer"], 0) + 1
     assert by_layer == {"poi_label": 1, "water": 3}
+
+
+def test_shave_cli_with_vertices(spark, tmp_path, capsys):
+    """--vertices routes a within style filter through full-geometry
+    evaluation in the batch shave CLI: the hole-crossing LineString is
+    dropped even though all its vertices are in the fill."""
+    donut = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]],
+            [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]],
+        ],
+    }
+    style_p = tmp_path / "wstyle.json"
+    style_p.write_text(json.dumps(
+        {"layers": [{"source-layer": "road", "filter": ["within", donut]}]}
+    ))
+    feats = spark.createDataFrame(
+        [
+            (16, 0, 0, "road", 1, "LineString", {"class": "street"}),
+            (16, 0, 0, "road", 3, "LineString", {"class": "street"}),
+        ],
+        "z int, x bigint, y bigint, layer string, feature_id bigint, "
+        "geom_type string, props map<string,string>",
+    )
+    verts = spark.createDataFrame(
+        [
+            (16, 0, 0, "road", 1, "LineString", 0, 0, 3.0, 5.0),
+            (16, 0, 0, "road", 1, "LineString", 0, 1, 7.0, 5.0),  # crosses hole
+            (16, 0, 0, "road", 3, "LineString", 0, 0, 1.0, 1.0),
+            (16, 0, 0, "road", 3, "LineString", 0, 1, 2.0, 1.5),
+        ],
+        "z int, x bigint, y bigint, layer string, feature_id bigint, "
+        "geom_type string, path_idx int, vertex_idx int, lon double, lat double",
+    )
+    fin = str(tmp_path / "feats.parquet")
+    vin = str(tmp_path / "verts.parquet")
+    feats.write.parquet(fin)
+    verts.write.parquet(vin)
+    out = str(tmp_path / "out")
+    rc = main([
+        "shave", "--style", str(style_p), "--input", fin, "--output", out,
+        "--zoom", "16", "--maxzoom", "16", "--vertices", vin,
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["features_before"] == 2 and report["features_after"] == 1
+    kept = {r["feature_id"] for r in spark.read.parquet(out + "/shaved").collect()}
+    assert kept == {3}

@@ -54,7 +54,16 @@ def cmd_shave(args) -> int:
     spark = active or build_session(app_name="vtshaver-shave")
     df = spark.read.parquet(args.input)
     zoom = args.zoom if args.zoom is not None else F.col("z").cast("double")
-    shaved, metrics = shave_with_metrics(df, filters, zoom=zoom, maxzoom=args.maxzoom)
+    # optional per-vertex table: routes any ["within"]/["distance"] in
+    # the style through full-geometry evaluation (operators/within.py)
+    vertex_df = (
+        spark.read.parquet(args.vertices)
+        if getattr(args, "vertices", None)
+        else None
+    )
+    shaved, metrics = shave_with_metrics(
+        df, filters, zoom=zoom, maxzoom=args.maxzoom, vertex_df=vertex_df
+    )
     shaved.write.mode("overwrite").parquet(f"{args.output}/shaved")
     metrics.write.mode("overwrite").parquet(f"{args.output}/metrics")
     summary = metrics.agg(
@@ -184,6 +193,12 @@ def main(argv=None) -> int:
     p_shave.add_argument("--output", required=True)
     p_shave.add_argument("--zoom", type=float, default=None)
     p_shave.add_argument("--maxzoom", type=float, default=None)
+    p_shave.add_argument(
+        "--vertices", default=None,
+        help="parquet path of per-vertex rows (feature keys + path_idx/"
+        "vertex_idx/lon/lat); enables full-geometry within/distance "
+        "evaluation for style filters",
+    )
     p_shave.set_defaults(fn=cmd_shave)
 
     p_tile = sub.add_parser(
