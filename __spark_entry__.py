@@ -34,6 +34,7 @@ from vtshaver_spark.operators.ann import (
     srp_probe_masks,
 )
 from vtshaver_spark.operators.dedup import (
+    jaccard_similarity_join,
     minhash_lsh_candidates,
     ngram_jaccard,
     simhash_near_dups,
@@ -556,6 +557,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["minhash_near_dups"] = minhash_near_dup
+
+    def jaccard_join_exact(spark, sf_dir):
+        # EXACT n-gram Jaccard near-dup join via prefix filtering
+        # (VernicaJoin): unlike the MinHash path there is no
+        # probabilistic recall loss, so the oracle is plain
+        # brute-force Jaccard over all pairs — guaranteed equal.
+        # Candidates come from a rarest-token-first prefix equi-join,
+        # never an all-pairs product (operators/dedup.py
+        # jaccard_similarity_join for the shuffle inventory).
+        register_views(spark, sf_dir)
+        out = jaccard_similarity_join(spark.table("documents"), threshold=0.4)
+        return out.select(
+            "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard_r")
+        )
+
+    q["ngram_jaccard_join"] = jaccard_join_exact
 
     def simhash_pairs(spark, sf_dir):
         # SimHash near-dup pairs, portable 60-bit hash. blocks=10 >
@@ -1161,6 +1178,33 @@ ver AS (
 )
 SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard_r
 FROM ver WHERE jaccard >= 0.5
+"""
+
+    # exact prefix-filter join oracle: brute-force all-pairs Jaccard —
+    # legitimate as an oracle precisely because the Spark side claims
+    # EXACT recall (prefix filtering loses nothing)
+    o["ngram_jaccard_join"] = """
+WITH toks AS (
+  SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(len(t) - 2),
+                               i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))
+           ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM toks
+),
+ne AS (SELECT doc, s FROM sh WHERE len(s) > 0),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+  FROM ne a JOIN ne b ON a.doc < b.doc
+)
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard_r
+FROM pairs WHERE jaccard >= 0.4
 """
 
     # embedding near-dup oracle: same plane/bucket/probe replay over

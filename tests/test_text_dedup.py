@@ -165,3 +165,32 @@ def test_minhash_family_independence(spark):
         [(i, words(i)) for i in range(60)], "doc_id long, text string"
     )
     assert minhash_lsh_candidates(docs).count() == 0
+
+
+def test_jaccard_similarity_join_exact_recall(spark, docs):
+    # the prefix-filter join must equal brute-force all-pairs Jaccard
+    # at the threshold (the exactness claim the driver oracle relies on)
+    from vtshaver_spark.operators.dedup import jaccard_similarity_join
+
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in jaccard_similarity_join(docs, 0.4).collect()
+    }
+    ids = docs.select(F.col("doc_id").alias("_x")).distinct()
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("a._x") < F.col("b._x"))
+        .select(F.col("a._x").alias("doc_a"), F.col("b._x").alias("doc_b"))
+    )
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.4).collect()
+    }
+    assert got == want and len(got) >= 3  # 1-2 exact, 1-3/2-3 near, 1-6/2-6 variants
+
+
+def test_jaccard_similarity_join_threshold_validation(spark, docs):
+    from vtshaver_spark.operators.dedup import jaccard_similarity_join
+
+    with pytest.raises(ValueError):
+        jaccard_similarity_join(docs, 1.0)

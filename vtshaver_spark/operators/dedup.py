@@ -254,6 +254,93 @@ def ngram_jaccard(
     )
 
 
+def jaccard_similarity_join(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_token_bucket: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard self-join via prefix filtering
+    (VernicaJoin / PPJoin family): returns ALL pairs with
+    Jaccard(shingles(a), shingles(b)) >= threshold — no probabilistic
+    recall loss, unlike the MinHash-LSH candidate path.
+
+    Prefix-filtering principle: order every doc's shingle set by a
+    single global total order (ascending document frequency, ties by
+    token), and keep only the first ``p = |X| - floor(t*|X|)`` tokens
+    (>= the exact ``|X| - ceil(t*|X|) + 1``; floor is used so float
+    jitter can only LENGTHEN the prefix, never cut recall). Any pair
+    with Jaccard >= t must share a token within both prefixes
+    [proof: J >= t implies |A∩B| >= ceil(t*|X|) for each side X, and
+    a set with >= k shared elements has one among its first
+    |X|-k+1]. Candidates come from an equi-join on prefix tokens —
+    never an all-pairs product — then exact verification.
+
+    Shuffle inventory: (1) token-frequency agg, (2) freq join back on
+    token, (3) per-doc sort agg, (4) prefix-token self-join,
+    (5) verify joins (ngram_jaccard). All keyed; rarest-first ordering
+    makes prefix tokens the LOW-frequency ones, so join buckets stay
+    small on natural text. ``max_token_bucket`` optionally drops
+    prefix tokens whose bucket exceeds the cap (boilerplate guard:
+    turns the join approximate; leave None for exact semantics).
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1) — use exact_dedup for t=1")
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    ex = sh.select("_id", F.explode("_sh").alias("_tok"))
+    freq = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    # per-doc rarest-first order + prefix slice, all codegen (array of
+    # struct sorts by field order; getField on array<struct> projects
+    # the token array without an interpreted lambda)
+    pref = (
+        ex.join(freq, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_df").alias("f"), F.col("_tok").alias("t")))
+            ).alias("_ord"),
+            F.count(F.lit(1)).alias("_sz"),
+        )
+        .withColumn(
+            "_plen",
+            F.greatest(
+                F.lit(1),
+                (F.col("_sz") - F.floor(F.lit(threshold) * F.col("_sz"))).cast("int"),
+            ),
+        )
+        .select(
+            "_id",
+            "_sz",
+            F.slice(F.col("_ord").getField("t"), F.lit(1), F.col("_plen")).alias("_pref"),
+        )
+    )
+    ptok = pref.select("_id", "_sz", F.explode("_pref").alias("_tok"))
+    if max_token_bucket is not None:
+        tok_n = ptok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
+        ptok = ptok.join(
+            tok_n.filter(F.col("_n") <= max_token_bucket).select("_tok"), "_tok"
+        )
+    # length filter: J >= t forces t*|B| <= |A| <= |B|/t; the 1e-9
+    # slack only ADMITS borderline candidates (verification is exact)
+    cand = (
+        ptok.alias("l")
+        .join(ptok.alias("r"), "_tok")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .filter(F.col("l._sz") >= F.lit(threshold) * F.col("r._sz") - F.lit(1e-9))
+        .filter(F.col("r._sz") >= F.lit(threshold) * F.col("l._sz") - F.lit(1e-9))
+        .select(F.col("l._id").alias("doc_a"), F.col("r._id").alias("doc_b"))
+        .distinct()
+    )
+    return ngram_jaccard(df, cand, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def simhash64(
     df: DataFrame,
     id_col: str = "doc_id",
