@@ -402,24 +402,60 @@ def simhash_near_dups(
     differing in max_hamming bits spread across max_hamming distinct
     chunks still shares one of blocks > max_hamming chunks.
     """
+    sim = simhash64(df, id_col, text_col, hash_mode, n_bits)
+    return hamming_block_join(
+        sim, id_col="doc", fp_col="simhash",
+        max_hamming=max_hamming, blocks=blocks, n_bits=n_bits,
+    )
+
+
+def hamming_block_join(
+    fps: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int,
+    blocks: int,
+    n_bits: int = 64,
+) -> DataFrame:
+    """ALL pairs of rows whose ``fp_col`` fingerprints are within
+    ``max_hamming`` bits, via exact pigeonhole blocking — the generic
+    core shared by simhash text near-dups and phash image near-dups.
+
+    Split the fingerprint into ``blocks`` chunks: a pair differing in
+    <= max_hamming bits spread over max_hamming distinct chunks still
+    shares one of blocks > max_hamming chunks, so candidates come
+    from equi-joins on chunk values (no quadratic blow-up), then exact
+    popcount verification. ``blocks`` must divide ``n_bits`` — a
+    remainder would leave bits outside every chunk and silently void
+    the guarantee. Arithmetic shiftright + mask extracts chunks
+    correctly for sign-folded 64-bit fingerprints.
+
+    Output columns: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
     if blocks <= max_hamming:
         raise ValueError(
             f"pigeonhole blocking needs blocks > max_hamming "
             f"(got blocks={blocks}, max_hamming={max_hamming}); "
             f"pairs would be silently dropped"
         )
+    if n_bits % blocks != 0:
+        raise ValueError(
+            f"blocks={blocks} must divide n_bits={n_bits}: a partial "
+            f"chunk leaves uncovered bits and voids the pigeonhole "
+            f"recall guarantee"
+        )
     width = n_bits // blocks
-    sim = simhash64(df, id_col, text_col, hash_mode, n_bits)
     mask = (1 << width) - 1
+    sim = fps.select(F.col(id_col).alias("doc"), F.col(fp_col).alias("_fp"))
     chunks = sim.select(
         "doc",
-        "simhash",
+        "_fp",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("blk"),
-                        F.shiftright(F.col("simhash"), b * width)
+                        F.shiftright(F.col("_fp"), b * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
@@ -427,22 +463,22 @@ def simhash_near_dups(
                 ]
             )
         ).alias("bc"),
-    ).select("doc", "simhash", "bc.blk", "bc.chunk")
+    ).select("doc", "_fp", "bc.blk", "bc.chunk")
     # one grouped collect per (block, chunk) + inline i<j pair
-    # expansion — the simhash aggregation runs once (a self-join would
-    # re-derive it per side), same shape as minhash_lsh_candidates
+    # expansion — the fingerprint computation runs once (a self-join
+    # would re-derive it per side), same shape as minhash_lsh_candidates
     buckets = (
         chunks.groupBy("blk", "chunk")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col("doc"), F.col("simhash")))
+                F.collect_list(F.struct(F.col("doc"), F.col("_fp")))
             ).alias("_ds")
         )
         .filter(F.size("_ds") >= 2)
     )
     # spread the size^2 expansion across full parallelism (see
     # minhash_lsh_candidates)
-    buckets = buckets.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    buckets = buckets.repartition(fps.sparkSession.sparkContext.defaultParallelism)
     cand = (
         buckets.select(F.explode("_ds").alias("l"), "_ds")
         .select("l", F.explode("_ds").alias("r"))
@@ -450,15 +486,15 @@ def simhash_near_dups(
         .select(
             F.col("l.doc").alias("doc_a"),
             F.col("r.doc").alias("doc_b"),
-            F.col("l.simhash").alias("sim_a"),
-            F.col("r.simhash").alias("sim_b"),
+            F.col("l._fp").alias("_fp_a"),
+            F.col("r._fp").alias("_fp_b"),
         )
         .distinct()
     )
     return (
         cand.withColumn(
-            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            "hamming", F.bit_count(F.col("_fp_a").bitwiseXOR(F.col("_fp_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
-        .drop("sim_a", "sim_b")
+        .drop("_fp_a", "_fp_b")
     )
