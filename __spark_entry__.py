@@ -644,6 +644,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_meta"] = multimodal_meta
 
+    def phash_dups(spark, sf_dir):
+        # Image near-dup pairs over the variant corpus: variant 'b' is
+        # a channel-rolled 2x upscale of 'a' (a real transform in the
+        # kernel), provably phash-identical — so every sampled k
+        # plants one guaranteed Hamming-0 pair. Spark runs the full
+        # bytes pipeline (synthesize -> RAWI encode -> decode ->
+        # average-hash -> pigeonhole block join); the oracle replays
+        # the 8x8 average-hash closed-form from (seed, w, h) in SQL
+        # and brute-force joins. blocks=4 > max_hamming=3 keeps the
+        # pigeonhole recall guarantee, so output == ALL pairs at
+        # Hamming <= 3.
+        from vtshaver_spark.operators.multimodal import (
+            generate_variant_images,
+            phash_near_dups,
+        )
+
+        register_views(spark, sf_dir)
+        imgs = generate_variant_images(spark.table("variant_images_v"))
+        pairs = phash_near_dups(
+            imgs, id_col="image_id", max_hamming=3, blocks=4
+        )
+        return pairs.select(
+            F.col("doc_a").alias("img_a"),
+            F.col("doc_b").alias("img_b"),
+            "hamming",
+        )
+
+    q["phash_near_dups"] = phash_dups
+
     def events_window_rollup(spark, sf_dir):
         # temporal tumbling-window rollup over the event stream table —
         # the batch counterpart of the streaming watermark rollups
@@ -1112,6 +1141,61 @@ SELECT a.doc AS doc_a, b.doc AS doc_b,
 FROM fp a JOIN fp b ON a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """
+
+    # phash image near-dups: the oracle replays the engine's 64-bit
+    # average-hash closed-form. The engine decodes real RAWI bytes and
+    # hashes pixels (operators/multimodal.py _phash64); every pixel of
+    # the corpus is integer arithmetic on (seed, w, h), and each
+    # exactness step below is exact in both engines:
+    #  - luma uint8 truncation == (base+grad+noise) // 3 (float64
+    #    mean of 3 uint8s cannot round across an integer boundary);
+    #  - 8x8 nearest downsample picks source pixel (i*h//8, j*w//8);
+    #  - bit threshold  sample >= mean(64 samples)  ==  lum*64 >= sum;
+    #  - variant 'b' (2x upscale + channel roll) is phash-identical to
+    #    'a', so ONE phash per k covers both variants.
+    # Bit-pack via 32-bit halves (DuckDB SUM is HUGEINT; the hi-half
+    # sign fold reproduces numpy's int64 wraparound), then brute-force
+    # all-pairs Hamming — equal to the pigeonhole join's output because
+    # blocks=4 > max_hamming=3 guarantees exact recall.
+    o["phash_near_dups"] = _oracle("""
+, pbase AS (
+  SELECT DISTINCT k, w, h, seed FROM variant_images_v
+),
+pgrid AS (SELECT CAST(n_nationkey AS BIGINT) AS i FROM nation WHERE n_nationkey < 8),
+psamp AS (
+  SELECT b.k, gy.i * 8 + gx.i AS idx,
+         ( ((gx.i * b.w // 8) * 255 // (b.w - 1))
+         + ((gy.i * b.h // 8) * 255 // (b.h - 1))
+         + (((gx.i * b.w // 8) * 131 + (gy.i * b.h // 8) * 197 + b.seed) % 251)
+         ) // 3 AS lum
+  FROM pbase b CROSS JOIN pgrid gy CROSS JOIN pgrid gx
+),
+pbits AS (
+  SELECT k, idx,
+         CASE WHEN lum * 64 >= SUM(lum) OVER (PARTITION BY k) THEN 1 ELSE 0 END AS bit
+  FROM psamp
+),
+phalves AS (
+  SELECT k,
+         SUM(CASE WHEN bit = 1 AND idx < 32 THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS lo,
+         SUM(CASE WHEN bit = 1 AND idx >= 32 THEN CAST(1 AS BIGINT) << (idx - 32) ELSE 0 END) AS hi
+  FROM pbits GROUP BY k
+),
+pfp AS (
+  SELECT k,
+         CAST(CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+                   ELSE hi * 4294967296 + lo END AS BIGINT) AS ph64
+  FROM phalves
+),
+pids AS (
+  SELECT v.image_id, pfp.ph64
+  FROM variant_images_v v JOIN pfp ON v.k = pfp.k
+)
+SELECT a.image_id AS img_a, b.image_id AS img_b,
+       CAST(bit_count(xor(a.ph64, b.ph64)) AS INT) AS hamming
+FROM pids a JOIN pids b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.ph64, b.ph64)) <= 3
+""")
 
     # MinHash-LSH full-pipeline oracle (portable hash): signatures,
     # band buckets, bucket-size filter, candidate pairs, exact Jaccard.

@@ -21,6 +21,9 @@ from vtshaver_spark.operators.multimodal import (
     decode_features,
     frame_sample,
     generate_image_bytes,
+    generate_variant_images,
+    phash_fingerprints,
+    phash_near_dups,
     resize_images,
     verify_roundtrip_psnr,
 )
@@ -119,3 +122,84 @@ def test_frame_sample(spark):
 def test_pil_stub_flag():
     # container truth: PIL absent => decode path must be the gated stub
     assert HAS_PIL is False
+
+
+# ---------------------------------------------------------------------------
+# phash near-dups (variant-pair corpus)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def variant_corpus(spark):
+    rows = []
+    for k in range(1, 30):
+        w, h, seed = 16 + k % 17, 16 + (k * 7) % 13, (k * 48271) % 251
+        for v in ("a", "b"):
+            rows.append((k, f"img_{k:08d}_{v}", v, w, h, seed))
+    df = spark.createDataFrame(
+        rows, "k long, image_id string, variant string, w int, h int, seed int"
+    )
+    return generate_variant_images(df).cache()
+
+
+def test_variant_b_is_real_transform(variant_corpus):
+    # 'b' bytes differ from 'a' (channel roll + 2x dims) — it is a
+    # transformed image, not a copy
+    rows = {r["image_id"]: r for r in variant_corpus.collect()}
+    a, b = rows["img_00000003_a"], rows["img_00000003_b"]
+    assert (b["out_w"], b["out_h"]) == (2 * a["out_w"], 2 * a["out_h"])
+    arr_a = rawi_decode(bytes(a["bytes"]))
+    arr_b = rawi_decode(bytes(b["bytes"]))
+    # undo the transform: take every 2nd pixel, roll channels back
+    down = arr_b[::2, ::2][..., [1, 2, 0]]
+    assert np.array_equal(arr_a, down)
+
+
+def test_variant_phash_identity(variant_corpus):
+    # the planted-pair guarantee: phash('a') == phash('b') for every k
+    fps = {
+        r["image_id"]: r["phash"]
+        for r in phash_fingerprints(variant_corpus).collect()
+    }
+    for k in range(1, 30):
+        assert fps[f"img_{k:08d}_a"] == fps[f"img_{k:08d}_b"], k
+
+
+def test_phash_near_dups_equals_brute_force(variant_corpus):
+    # pigeonhole recall is exact for blocks > max_hamming: operator
+    # output must equal the all-pairs scan, at both (4,3) and (8,6)
+    fps = {
+        r["image_id"]: r["phash"]
+        for r in phash_fingerprints(variant_corpus).collect()
+    }
+
+    def brute(max_h):
+        out = set()
+        ids = sorted(fps)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                d = bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+                if d <= max_h:
+                    out.add((a, b, d))
+        return out
+
+    for max_h, blocks in ((3, 4), (6, 8)):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in phash_near_dups(
+                variant_corpus, max_hamming=max_h, blocks=blocks
+            ).collect()
+        }
+        assert got == brute(max_h), (max_h, blocks)
+        # every planted (a, b) pair surfaces at Hamming 0
+        for k in range(1, 30):
+            assert (f"img_{k:08d}_a", f"img_{k:08d}_b", 0) in got
+
+
+def test_hamming_block_join_validates_args(variant_corpus):
+    from vtshaver_spark.operators.dedup import hamming_block_join
+
+    fps = phash_fingerprints(variant_corpus)
+    with pytest.raises(ValueError, match="blocks > max_hamming"):
+        hamming_block_join(fps, "image_id", "phash", max_hamming=4, blocks=4)
+    with pytest.raises(ValueError, match="must divide"):
+        hamming_block_join(fps, "image_id", "phash", max_hamming=3, blocks=7)

@@ -100,6 +100,20 @@ def synth_image(image_id: str, w: int, h: int) -> np.ndarray:
     return np.stack([base, grad, noise], axis=-1)
 
 
+def synth_gradient_image(seed: int, w: int, h: int) -> np.ndarray:
+    """Deterministic gradient+noise pixels from an INTEGER seed — the
+    oracle-replayable sibling of :func:`synth_image` (whose crc32 seed
+    has no SQL twin). Every channel is integer arithmetic on
+    (x, y, seed), so a closed-form SQL expression can reproduce any
+    pixel — and hence the average-hash — exactly (the phash_near_dups
+    oracle does)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    grad = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+    noise = ((xx * 131 + yy * 197 + int(seed)) % 251).astype(np.uint8)
+    return np.stack([base, grad, noise], axis=-1)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB (inf for identical images)."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)

@@ -31,6 +31,7 @@ from vtshaver_spark.functions.codecs import (
     rawi_decode,
     rawi_encode,
     resize_nearest,
+    synth_gradient_image,
     synth_image,
 )
 
@@ -85,6 +86,124 @@ def _phash64(arr: np.ndarray) -> int:
         if b:
             v |= 1 << i
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def generate_variant_images(
+    df: DataFrame,
+    variant_col: str = "variant",
+    seed_col: str = "seed",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Materialize RAWI bytes for a variant-pair image corpus: variant
+    ``'a'`` is the seeded gradient image at (w, h); variant ``'b'`` is
+    a genuinely TRANSFORMED derivative — a channel-rolled 2x
+    nearest-neighbor upscale of ``a`` — not a formula re-evaluation.
+
+    ``b`` is provably phash-identical to ``a``: luma (the channel
+    mean) is invariant under channel permutation, and the 8x8
+    average-hash sample grid of an exact-2x nearest upscale lands on
+    the same source pixels (floor identity: for integer ``i,h``,
+    ``(i*2h//8)//2 == i*h//8``), so each corpus row plants one
+    guaranteed Hamming-0 duplicate pair for the near-dup join to find.
+
+    Adds: bytes (RAWI), out_w, out_h, fmt.
+    """
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("bytes", T.BinaryType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blobs, ows, ohs = [], [], []
+            for seed, w, h, variant in zip(
+                pdf[seed_col], pdf[w_col], pdf[h_col], pdf[variant_col]
+            ):
+                arr = synth_gradient_image(int(seed), int(w), int(h))
+                if variant == "b":
+                    arr = resize_nearest(arr, 2 * int(w), 2 * int(h))
+                    arr = arr[..., [2, 0, 1]]
+                blobs.append(rawi_encode(arr))
+                ohs.append(arr.shape[0])
+                ows.append(arr.shape[1])
+            pdf = pdf.copy()
+            pdf["bytes"] = blobs
+            pdf["out_w"] = np.array(ows, dtype=np.int32)
+            pdf["out_h"] = np.array(ohs, dtype=np.int32)
+            pdf["fmt"] = "rawi"
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def phash_fingerprints(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Decode each image and emit its 64-bit average-hash: (id, phash).
+
+    Projection happens BEFORE the kernel so only (id, bytes) cross the
+    Arrow boundary; executor memory per task is bytes-per-image x
+    arrow batch size, independent of partition row count."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": np.array(
+                        [_phash64(rawi_decode(b)) for b in pdf[bytes_col]],
+                        dtype=np.int64,
+                    ),
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(kernel, schema=schema)
+
+
+def phash_near_dups(
+    df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance:
+    decode -> 64-bit average-hash (Arrow kernel) -> exact pigeonhole
+    block join (operators/dedup.py hamming_block_join — the same core
+    the simhash text path uses, recall-exact for blocks > max_hamming).
+
+    100 TB shape: one map-only decode+hash pass over pruned (id, bytes)
+    columns, then candidate generation by equi-join on 64/blocks-bit
+    chunk values — never an all-pairs product. Output:
+    (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    from vtshaver_spark.operators.dedup import hamming_block_join
+
+    fps = phash_fingerprints(df, id_col=id_col, bytes_col=bytes_col)
+    return hamming_block_join(
+        fps,
+        id_col=id_col,
+        fp_col="phash",
+        max_hamming=max_hamming,
+        blocks=blocks,
+        n_bits=64,
+    )
 
 
 def decode_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:

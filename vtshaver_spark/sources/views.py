@@ -145,6 +145,28 @@ JOIN nation n
                           ELSE 4 END
 """
 
+# Variant-pair image corpus for phash near-dup detection: two rows per
+# sampled order key — variant 'a' (seeded gradient image, dims derived
+# from k) and variant 'b' (its channel-rolled 2x nearest upscale,
+# generated by an actual image transform in
+# operators/multimodal.py:generate_variant_images and provably
+# phash-identical to 'a'). Every column the phash depends on (seed, w,
+# h) is integer arithmetic on k, so the oracle can replay the 8x8
+# average-hash closed-form in SQL.
+VARIANT_IMAGES_SQL = """
+SELECT
+  o_orderkey AS k,
+  CONCAT('img_', LPAD(CAST(o_orderkey AS STRING), 8, '0'), '_', v.variant)
+    AS image_id,
+  v.variant,
+  16 + o_orderkey % 17 AS w,
+  16 + (o_orderkey * 7) % 13 AS h,
+  (o_orderkey * 48271) % 251 AS seed
+FROM orders
+CROSS JOIN (SELECT 'a' AS variant UNION ALL SELECT 'b' AS variant) v
+WHERE o_orderkey % 41 = 0
+"""
+
 POLYGONS_SQL = """
 SELECT
   n_nationkey + 1 AS polygon_id,
@@ -165,6 +187,7 @@ DERIVED_VIEWS = {
     # in Spark registration order and in with_cte CTE order)
     "vertices_v": VERTICES_SQL,
     "polygons_v": POLYGONS_SQL,
+    "variant_images_v": VARIANT_IMAGES_SQL,
 }
 
 
