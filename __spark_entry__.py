@@ -590,6 +590,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_near_dups"] = simhash_pairs
 
+    def neardup_keep(spark, sf_dir):
+        # pairs -> DECISIONS: connected components over the simhash
+        # near-dup graph (iterative min-label propagation, one
+        # join+agg shuffle per round), then a keep-list over the full
+        # corpus: rep = min reachable doc id, keep = (doc == rep).
+        # The oracle recomputes the same pair graph brute-force and
+        # closes components with a recursive CTE.
+        from vtshaver_spark.operators.dedup import neardup_components
+
+        register_views(spark, sf_dir)
+        pairs = simhash_near_dups(
+            spark.table("documents"),
+            max_hamming=6,
+            blocks=10,
+            hash_mode="portable",
+            n_bits=60,
+        )
+        comp = neardup_components(pairs)
+        docs = spark.table("documents").select("doc_id")
+        return docs.join(
+            comp, docs.doc_id == comp.node, "left"
+        ).select(
+            "doc_id",
+            F.coalesce("rep", "doc_id").alias("rep"),
+            (F.coalesce("rep", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
+
+    q["neardup_keep_list"] = neardup_keep
+
     def embedding_near_dups(spark, sf_dir):
         # embedding-cosine near-dup pairs: SRP-bucketed candidate
         # generation + exact cosine verify; the deterministic
@@ -1140,6 +1169,44 @@ SELECT a.doc AS doc_a, b.doc AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM fp a JOIN fp b ON a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+    # Near-dup keep-list: same brute-force simhash pair graph, closed
+    # into components with a recursive CTE (min reachable id over the
+    # symmetric edge closure == the engine's label-propagation
+    # fixpoint), then a keep flag over the whole corpus.
+    o["neardup_keep_list"] = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+),
+h AS (SELECT doc, md5_number_lower(t) % {P60} AS hv FROM tok),
+votes AS (
+  SELECT doc,
+         {vote_cols}
+  FROM h GROUP BY doc
+),
+fp AS (SELECT doc, CAST({fp_expr} AS BIGINT) AS simhash FROM votes),
+nd_pairs AS (
+  SELECT a.doc AS da, b.doc AS db
+  FROM fp a JOIN fp b ON a.doc < b.doc
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM nd_pairs
+  UNION
+  SELECT db AS src, da AS dst FROM nd_pairs
+),
+reach AS (
+  SELECT src AS node, src AS lab FROM edges
+  UNION
+  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lab) AS rep FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.rep, d.doc_id) AS rep,
+       COALESCE(c.rep, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
     # phash image near-dups: the oracle replays the engine's 64-bit

@@ -194,3 +194,71 @@ def test_jaccard_similarity_join_threshold_validation(spark, docs):
 
     with pytest.raises(ValueError):
         jaccard_similarity_join(docs, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# neardup_components (pairs -> dedup decisions)
+# ---------------------------------------------------------------------------
+
+def _components(spark, pairs):
+    from vtshaver_spark.operators.dedup import neardup_components
+
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    return {
+        r["node"]: r["rep"] for r in neardup_components(df).collect()
+    }
+
+
+def test_components_chain_converges_to_min(spark):
+    # a 6-hop path: every node must reach the global min 'a'
+    chain = [(c1, c2) for c1, c2 in zip("abcdef", "bcdefg")]
+    got = _components(spark, chain)
+    assert got == {c: "a" for c in "abcdefg"}
+
+
+def test_components_separate_clusters_and_direction(spark):
+    # two components; pair order reversed in one (propagation must
+    # flow both directions); min label sits at the 'b' side once
+    pairs = [("x2", "x1"), ("x2", "x3"), ("y9", "y8")]
+    got = _components(spark, pairs)
+    assert got == {
+        "x1": "x1", "x2": "x1", "x3": "x1", "y8": "y8", "y9": "y8",
+    }
+
+
+def test_components_matches_bruteforce_bfs(spark):
+    # random-ish deterministic graph vs a pure-python union-find
+    pairs = [
+        (f"d{(i * 7) % 23:02d}", f"d{(i * 11 + 3) % 23:02d}")
+        for i in range(18)
+        if (i * 7) % 23 != (i * 11 + 3) % 23
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    expect = {}
+    for a, b in pairs:
+        for n in (a, b):
+            expect[n] = min(
+                m for m in parent if find(m) == find(n)
+            )
+    assert _components(spark, pairs) == expect
+
+
+def test_components_nonconvergence_raises(spark):
+    from vtshaver_spark.operators.dedup import neardup_components
+
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(8)]
+    df = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(df, max_iter=2)

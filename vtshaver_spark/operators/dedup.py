@@ -498,3 +498,74 @@ def hamming_block_join(
         .filter(F.col("hamming") <= max_hamming)
         .drop("_fp_a", "_fp_b")
     )
+
+
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: the step
+    that turns ANY pair generator's output (minhash/simhash/phash/
+    jaccard/embedding) into dedup DECISIONS. Returns (node, rep) where
+    ``rep`` is the minimum id reachable from ``node`` — the canonical
+    representative every member of a duplicate cluster agrees on.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min of its own label and its neighbors' labels — one
+    equi-join + one hash aggregation per round, converging in
+    graph-diameter rounds (near-dup clusters are shallow; transitive
+    chains rarely exceed a handful of hops). The loop is driver-side
+    CONTROL FLOW only: data never leaves the cluster, and each round
+    ends in an eager localCheckpoint that truncates the growing
+    lineage (without it, round k's plan re-derives rounds 1..k-1).
+
+    100 TB shape: per-round cost is one shuffle of |E| messages plus
+    one |V| aggregation, map-side combined. A pathological hot
+    component (one label received by millions of nodes) skews the
+    aggregation key — AQE skew-split handles it (the key count per
+    node is bounded by its degree, and degree is bounded by the pair
+    generators' bucket caps upstream). For graphs with whale
+    components and large diameters the two-phase large-star/small-star
+    algorithm (Kiveris et al.) halves round count; not needed at
+    near-dup shapes.
+
+    Convergence is checked with a changed-label count per round (one
+    action); raises if ``max_iter`` rounds don't reach a fixpoint —
+    silent truncation would merge clusters nondeterministically.
+    """
+    # symmetric edge list (propagation must flow both directions)
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min neighbor label per node
+        msgs = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        updated = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+                (F.coalesce("nlab", "lab") < F.col("lab")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_chg")).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            return labels.select("node", F.col("lab").alias("rep"))
+    raise RuntimeError(
+        f"neardup_components did not converge in {max_iter} rounds; "
+        f"the pair graph has a longer-diameter component than expected"
+    )
