@@ -178,3 +178,65 @@ def test_stream_sessionize_event_time_closure(spark, tmp_path):
     # whose tail is still unknowable.
     got = {(r["user_id"], r["n_events"], r["sum_value"]) for r in rows}
     assert got == {(1, 2, 3.0)}, got
+
+
+def test_stream_phash_dedup(spark, tmp_path):
+    # image firehose: file2 re-uploads perceptual duplicates (variant
+    # 'b' = channel-rolled 2x upscale, phash-identical to 'a') plus
+    # one genuinely new image; only the new image may pass batch 2
+    import time
+
+    from vtshaver_spark.operators.multimodal import (
+        generate_variant_images,
+        phash_fingerprints,
+    )
+    from vtshaver_spark.streaming.stateful import stream_phash_dedup
+
+    def corpus(ks, variant):
+        rows = [
+            (k, f"img_{k:08d}_{variant}", variant,
+             16 + k % 17, 16 + (k * 7) % 13, (k * 48271) % 251)
+            for k in ks
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "k long, image_id string, variant string, w int, h int, seed int",
+        )
+        return generate_variant_images(df).select("image_id", "bytes")
+
+    first = corpus([1, 2, 3], "a")
+    # distinct phashes among the chosen ks (collision would invalidate
+    # the expected emission set, not the operator)
+    fps = {r["image_id"]: r["phash"] for r in phash_fingerprints(first).collect()}
+    assert len(set(fps.values())) == 3
+    src = str(tmp_path / "img_src")
+    first.write.parquet(src + "/f1")
+    time.sleep(1.1)  # ascending mtimes pin micro-batch order
+    corpus([1, 2, 3], "b").union(corpus([4], "a")).write.parquet(src + "/f2")
+
+    stream = (
+        spark.readStream.schema("image_id string, bytes binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    out = stream_phash_dedup(stream, n_buckets=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("phash_dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "pckpt"))
+        .start()
+    )
+    finished = q.awaitTermination(timeout=180)
+    assert finished, "availableNow drain did not terminate within 180s"
+    assert q.exception() is None
+    rows = spark.sql("SELECT phash_key, image_id FROM phash_dedup_out").collect()
+    q.stop()
+    winners = sorted(r["image_id"] for r in rows)
+    # 3 slots won by the first-arriving 'a' variants + the new k=4;
+    # every 'b' re-upload was dropped
+    assert winners == [
+        "img_00000001_a", "img_00000002_a", "img_00000003_a", "img_00000004_a",
+    ]
+    assert len({r["phash_key"] for r in rows}) == 4

@@ -189,6 +189,25 @@ def test_jaccard_similarity_join_exact_recall(spark, docs):
     assert got == want and len(got) >= 3  # 1-2 exact, 1-3/2-3 near, 1-6/2-6 variants
 
 
+def test_jaccard_similarity_join_integer_boundary_recall(spark):
+    # regression: when t*|X| is an INTEGER the old floor-based prefix
+    # (|X| - floor(t*|X|)) was one token short and missed qualifying
+    # pairs. Construction: B ⊆ A with |B| = t*|A| gives J = t exactly;
+    # A's private tokens are rarer (df=1 < 2) so they fill A's entire
+    # short prefix while B's prefix holds only shared tokens — under
+    # the fixed ceil prefix the pair must surface.
+    from vtshaver_spark.operators.dedup import jaccard_similarity_join
+
+    df = spark.createDataFrame(
+        [("d1", "w x y z"), ("d2", "y z")], "doc_id string, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_similarity_join(df, 0.5, shingle_n=1).collect()
+    }
+    assert ("d1", "d2") in got
+
+
 def test_jaccard_similarity_join_threshold_validation(spark, docs):
     from vtshaver_spark.operators.dedup import jaccard_similarity_join
 

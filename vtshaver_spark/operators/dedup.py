@@ -269,13 +269,17 @@ def jaccard_similarity_join(
 
     Prefix-filtering principle: order every doc's shingle set by a
     single global total order (ascending document frequency, ties by
-    token), and keep only the first ``p = |X| - floor(t*|X|)`` tokens
-    (>= the exact ``|X| - ceil(t*|X|) + 1``; floor is used so float
-    jitter can only LENGTHEN the prefix, never cut recall). Any pair
-    with Jaccard >= t must share a token within both prefixes
-    [proof: J >= t implies |A∩B| >= ceil(t*|X|) for each side X, and
-    a set with >= k shared elements has one among its first
-    |X|-k+1]. Candidates come from an equi-join on prefix tokens —
+    token), and keep only the first ``p = |X| - ceil(t*|X|) + 1``
+    tokens. Any pair with Jaccard >= t must then share a token within
+    both prefixes [proof: J >= t implies |A∩B| >= ceil(t*|X|) for
+    each side X, and two sets sharing >= k elements each have a shared
+    element among their first |X|-k+1 under a common total order].
+    The ceil is computed as ``ceil(t*|X| - 1e-9)`` so float jitter in
+    ``t*|X|`` can only UNDERestimate it — which lengthens the prefix
+    and preserves recall (``|X| - floor(t*|X|)``, used before r4, is
+    one token SHORT exactly when t*|X| is an integer: e.g. t=0.5,
+    A={o1..o4}, B={o3,o4} has J=0.5 but prefixes {o1,o2} vs {o3}
+    never meet). Candidates come from an equi-join on prefix tokens —
     never an all-pairs product — then exact verification.
 
     Shuffle inventory: (1) token-frequency agg, (2) freq join back on
@@ -310,7 +314,11 @@ def jaccard_similarity_join(
             "_plen",
             F.greatest(
                 F.lit(1),
-                (F.col("_sz") - F.floor(F.lit(threshold) * F.col("_sz"))).cast("int"),
+                (
+                    F.col("_sz")
+                    - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+                    + 1
+                ).cast("int"),
             ),
         )
         .select(

@@ -21,6 +21,7 @@ def stream_dedup(
     key_col: str = "doc_id",
     bucket_col: str = "bucket",
     state_timeout_ms: int = 0,
+    carry_col: str | None = None,
 ) -> DataFrame:
     """Emit each key at most once across the stream's lifetime.
 
@@ -28,18 +29,24 @@ def stream_dedup(
     ``pmod(xxhash64(key), N)``) so state shards across tasks; the
     seen-set lives per bucket.
 
+    ``carry_col`` optionally names a column whose FIRST-ARRIVING value
+    rides along with each emitted key (e.g. the image_id that won a
+    perceptual-hash slot); state still stores only the seen keys, so
+    the memory contract is unchanged.
+
     ``state_timeout_ms`` bounds memory for idle buckets on continuous
     triggers. It defaults to 0 (NoTimeout): arming a
     ProcessingTimeTimeout re-schedules work every micro-batch, so a
     ``trigger(availableNow=True)`` drain never reaches termination —
     only opt in for genuinely continuous queries.
     """
-    out_schema = T.StructType(
-        [
-            T.StructField(bucket_col, T.LongType()),
-            T.StructField(key_col, T.StringType()),
-        ]
-    )
+    out_fields = [
+        T.StructField(bucket_col, T.LongType()),
+        T.StructField(key_col, T.StringType()),
+    ]
+    if carry_col is not None:
+        out_fields.append(T.StructField(carry_col, T.StringType()))
+    out_schema = T.StructType(out_fields)
     state_schema = T.StructType([T.StructField("seen", T.ArrayType(T.StringType()))])
 
     def dedup_fn(
@@ -50,17 +57,26 @@ def stream_dedup(
             state.remove()
             return
         seen = set(state.get[0]) if state.exists else set()
-        fresh = []
+        fresh, carried = [], []
         for pdf in pdfs:
-            for k in pdf[key_col].astype(str):
+            carries = (
+                pdf[carry_col].astype(str)
+                if carry_col is not None
+                else pdf[key_col]
+            )
+            for k, c in zip(pdf[key_col].astype(str), carries):
                 if k not in seen:
                     seen.add(k)
                     fresh.append(k)
+                    carried.append(c)
         state.update((list(seen),))
         if state_timeout_ms:
             state.setTimeoutDuration(state_timeout_ms)
         if fresh:
-            yield pd.DataFrame({bucket_col: [bucket] * len(fresh), key_col: fresh})
+            out = {bucket_col: [bucket] * len(fresh), key_col: fresh}
+            if carry_col is not None:
+                out[carry_col] = carried
+            yield pd.DataFrame(out)
 
     timeout_conf = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -190,4 +206,46 @@ def stream_sessionize(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=timeout_conf,
+    )
+
+
+def stream_phash_dedup(
+    stream_df: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    n_buckets: int = 32,
+    state_timeout_ms: int = 0,
+) -> DataFrame:
+    """Perceptual dedup of a continuous IMAGE stream: first arrival
+    wins per 64-bit average-hash. The streaming counterpart of
+    operators/multimodal.phash_near_dups for ingestion firehoses —
+    later uploads of a perceptually identical image (re-encodes,
+    exact-factor upscales, channel shuffles) are dropped before they
+    reach the lake.
+
+    Composition: the SAME Arrow phash kernel as the batch path
+    (phash_fingerprints — mapInPandas is streaming-safe) computes each
+    micro-batch's hashes after (id, bytes) pruning, then stream_dedup
+    keyed on the hash value keeps the first image per slot. State per
+    bucket is the seen-hash set only (images never enter state), so
+    memory is O(distinct hashes / n_buckets) per task.
+
+    Output: (bucket, phash_key, image_id) — one row per NEW perceptual
+    slot, carrying the winning image's id.
+    """
+    from pyspark.sql import functions as F
+
+    from vtshaver_spark.operators.multimodal import phash_fingerprints
+
+    fps = phash_fingerprints(stream_df, id_col=id_col, bytes_col=bytes_col)
+    keyed = fps.select(
+        F.col("phash").cast("string").alias("phash_key"),
+        F.col(id_col).cast("string").alias(id_col),
+    ).withColumn("bucket", F.pmod(F.xxhash64("phash_key"), F.lit(n_buckets)))
+    return stream_dedup(
+        keyed,
+        key_col="phash_key",
+        bucket_col="bucket",
+        state_timeout_ms=state_timeout_ms,
+        carry_col=id_col,
     )
