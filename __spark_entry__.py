@@ -30,6 +30,7 @@ from vtshaver_spark.operators.ann import (
     cosine_near_dups,
     cosine_topk,
     ivf_cosine_topk,
+    ivf_cosine_topk_distributed,
     lsh_cosine_topk,
     srp_probe_masks,
 )
@@ -650,6 +651,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_ivf_top5"] = ann_ivf
+
+    def ann_ivf_dist(spark, sf_dir):
+        # IVF with a DISTRIBUTED query side: the query set (50 rows
+        # here, a full table at scale) is probe-assigned by a map-only
+        # Arrow kernel and equi-joined on the centroid id — no driver
+        # collect anywhere, both sides scale
+        register_views(spark, sf_dir)
+        emb = spark.table("embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ivf_cosine_topk_distributed(
+            emb.filter(F.col("vec_id") >= 50), queries_df,
+            k=5, n_centroids=16, n_probe=4,
+        )
+        return out.select(
+            "query_id", "rank", "vec_id", F.round(F.col("cos"), 6).alias("cos_r")
+        )
+
+    q["ann_ivf_dist_top5"] = ann_ivf_dist
 
     def multimodal_meta(spark, sf_dir):
         # G9/multimodal plumbing end-to-end: deterministic RAWI bytes
@@ -1491,10 +1512,14 @@ FROM images_v WHERE k % 101 = 0
         "list_dot_product({a}, {b}) / (SQRT(list_dot_product({a}, {a})) "
         "* SQRT(list_dot_product({b}, {b})))"
     )
-    o["ann_ivf_top5"] = f"""
+    def _ivf_oracle(cut: int) -> str:
+        # shared replay of the IVF pipeline (seed centroids = first 16
+        # corpus ids, argmax assignment ties toward smaller cid,
+        # n_probe=4, k=5) with the query/corpus split at vec_id < cut
+        return f"""
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-  FROM embeddings WHERE vec_id >= 5
+  FROM embeddings WHERE vec_id >= {cut}
 ),
 cent AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cemb
@@ -1512,7 +1537,7 @@ assign AS (
 ),
 q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
-  FROM embeddings WHERE vec_id < 5
+  FROM embeddings WHERE vec_id < {cut}
 ),
 qprobe AS (
   SELECT query_id, emb AS qemb, cid FROM (
@@ -1536,6 +1561,12 @@ ranked AS (
 SELECT query_id, rank, vec_id, ROUND(cos, 6) AS cos_r
 FROM ranked WHERE rank <= 5
 """
+
+    o["ann_ivf_top5"] = _ivf_oracle(5)
+    # the distributed-query-path variant runs the SAME pipeline
+    # semantics (only the Spark physical plan differs), so its oracle
+    # is the same replay with the bigger query split
+    o["ann_ivf_dist_top5"] = _ivf_oracle(50)
 
     # SRP-LSH ANN oracle: replay the deterministic hyperplanes,
     # sign-packed buckets, multiprobe masks, and cosine re-rank in SQL.

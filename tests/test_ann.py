@@ -182,3 +182,55 @@ def test_train_centroids_high_dim_matches_numpy(spark):
                 want[c] = m / nrm
     assert got.shape == (k, dim)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_ivf_distributed_matches_collected(spark):
+    """The distributed query path (no driver collect; probe-explode +
+    one _cent equi-join + per-cell candidate cut) must return exactly
+    the collected path's rows — same centroids, probes, tie rules."""
+    from vtshaver_spark.operators.ann import (
+        ivf_cosine_topk,
+        ivf_cosine_topk_distributed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 40)
+
+    def key(rows):
+        return {(r["query_id"], r["rank"], r["vec_id"], round(r["cos"], 9))
+                for r in rows}
+
+    coll = key(
+        ivf_cosine_topk(corpus, queries, k=5, n_centroids=8, n_probe=3).collect()
+    )
+    dist = key(
+        ivf_cosine_topk_distributed(
+            corpus, queries, k=5, n_centroids=8, n_probe=3
+        ).collect()
+    )
+    assert dist == coll and len(coll) == 40 * 5
+
+
+def test_ivf_distributed_three_shuffles_partial_limit(spark):
+    """Plan contract: exactly three hash exchanges (two join sides +
+    the merge window), the join is a ShuffledHashJoin on the single
+    int _cent key, and a PARTIAL WindowGroupLimit sits below the
+    window's exchange so each map task forwards at most k rows per
+    query — the merge shuffle is corpus-size-independent."""
+    from vtshaver_spark.operators.ann import ivf_cosine_topk_distributed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_cosine_topk_distributed(
+        emb.filter(F.col("vec_id") >= 4), queries, k=3, n_centroids=4, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "ShuffledHashJoin [_cent" in plan, plan
+    assert "row_number(), 3, Partial" in plan, plan
+    assert "BroadcastNestedLoop" not in plan

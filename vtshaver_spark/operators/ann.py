@@ -462,6 +462,126 @@ def ivf_cosine_topk(
     )
 
 
+def _probe_assign(
+    queries: DataFrame,
+    cent_norm: np.ndarray,
+    n_probe: int,
+    query_id: str,
+    vec_col: str,
+) -> DataFrame:
+    """Map-only Arrow kernel: emit ``n_probe`` (query_id, _qv, _cent)
+    rows per query — the query's closest centroids by cosine, ties
+    toward the smaller centroid index (stable argsort, matching
+    ``_assign_centroids`` and the SQL oracle's ``cos DESC, cid ASC``).
+    The distributed replacement for the driver-side probe loop in
+    ``ivf_cosine_topk``: no collect, so the query side may be another
+    100 TB table."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from vtshaver_spark.plans.broadcast import ship_arrays
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id, T.LongType(), False),
+            T.StructField("_qv", T.ArrayType(T.DoubleType()), False),
+            T.StructField("_cent", T.IntegerType(), False),
+        ]
+    )
+    get_cent = ship_arrays(queries.sparkSession, cent_norm)
+    np_ = min(n_probe, cent_norm.shape[0])
+
+    def kernel(batches):
+        (cent,) = get_cent()
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf["_qv"]), dtype=np.float64)
+            # centroid ranking is scale-invariant per row (cent rows are
+            # unit), so the raw dot product orders identically to cosine
+            sel = np.argsort(-(mat @ cent.T), axis=1, kind="stable")[:, :np_]
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(
+                        pdf[query_id].to_numpy(dtype=np.int64), np_
+                    ),
+                    "_qv": [v for v in pdf["_qv"] for _ in range(np_)],
+                    "_cent": sel.ravel().astype(np.int32),
+                }
+            )
+
+    return queries.select(
+        F.col(query_id), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).mapInPandas(kernel, schema=out_schema)
+
+
+def ivf_cosine_topk_distributed(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    centroids: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """IVF top-k with a DISTRIBUTED query side — same results as
+    ``ivf_cosine_topk`` (same centroids, probes, and tie rules), but
+    the query set is never collected to the driver, so BOTH sides
+    scale: corpus and queries can each be full-size tables.
+
+    Physical plan (the 100 TB shape):
+      1. corpus → ``_assign_centroids`` (map-only Arrow argmax);
+      2. queries → ``_probe_assign`` (map-only Arrow top-``n_probe``
+         explode — |Q| × n_probe rows, each carrying its vector once);
+      3. ONE shuffle-hash equi-join on the single int ``_cent`` key
+         (probe side builds: |Q| × n_probe rows vs the corpus probe
+         stream);
+      4. exact cosine re-rank (Arrow pairs kernel), then the top-k
+         window on ``query_id``. Spark ≥3.5 inserts a PARTIAL
+         ``WindowGroupLimit`` below the window's exchange, so each
+         map task forwards at most k candidate rows per query — the
+         shuffle is corpus-size-independent without any explicit
+         per-cell pre-cut (an earlier draft added a (cell, query)
+         window for that; it cost a fourth exchange and duplicated
+         what WindowGroupLimit already does, see
+         test_ivf_distributed_three_shuffles_partial_limit).
+
+    Sizing note: the join key has exactly ``n_centroids`` distinct
+    values, so ``n_centroids`` must scale with the corpus (rule of
+    thumb ~sqrt(N) lists, e.g. 10k-100k at production scale) to keep
+    cells balanced; AQE skew-join splits residual hot cells. The
+    driver-collected variant stays preferable only when the query set
+    is broadcast-sized.
+
+    Output: query_id, rank, vec_id, cos (ties broken by vec_id).
+    """
+    cent_norm = (
+        centroids
+        if centroids is not None
+        else _seed_centroids(vectors, n_centroids, vec_id, vec_col)
+    )
+    v = vectors.select(
+        F.col(vec_id), F.col(vec_col).cast("array<double>").alias("_vv")
+    )
+    assigned = _assign_centroids(v, cent_norm)
+    probes = _probe_assign(queries, cent_norm, n_probe, query_id, vec_col)
+
+    scored = (
+        assigned.join(probes.hint("shuffle_hash"), "_cent")
+        .withColumn("cos", cosine_pairs_fast(F.col("_vv"), F.col("_qv")))
+        .select(query_id, vec_id, "cos")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cos").desc(), F.col(vec_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def srp_probe_masks(n_planes: int, probe_bits: int) -> list:
     """Multiprobe XOR masks: own bucket, then all buckets within
     ``probe_bits`` bit flips."""
