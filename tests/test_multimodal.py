@@ -38,8 +38,16 @@ def test_rawi_roundtrip():
 
 
 def test_rawi_rejects_unknown_format():
-    with pytest.raises(NotImplementedError):
-        rawi_decode(b"\x89PNG\r\n\x1a\nxxxx")
+    # strict decoder: anything non-RAWI points at the sniffing router
+    with pytest.raises(ValueError):
+        rawi_decode(b"JUNKxxxx")
+    # the router itself: truly unknown formats (no RAWI/PNG magic)
+    # raise NotImplementedError unless PIL is importable
+    from vtshaver_spark.functions.codecs import HAS_PIL, decode_image
+
+    if not HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"JUNKxxxx")
 
 
 def test_resize_psnr():

@@ -172,3 +172,60 @@ def test_concurrent_publish_loser_raises(spark, table):
     # A's commit is intact
     assert (1, "a") in _rows(table.read())
     assert table.current_version() == 2
+
+
+def test_merge_schema_evolution_add_column(spark, table):
+    """Iceberg add-column: an evolving merge widens the table schema;
+    untouched buckets' old files read NULL in the new column (footer
+    merge), and a non-evolving merge with a drifted schema raises."""
+    src = spark.createDataFrame(
+        [(3, "updated3", 0.5), (100, "new100", 0.9)],
+        "k long, val string, score double",
+    )
+    with pytest.raises(Exception):
+        table.merge_into(src)  # drift must be explicit
+    v = table.merge_into(src, allow_schema_evolution=True)
+    assert v == 2
+    out = table.read()
+    assert set(out.columns) == {"k", "val", "score"}
+    got = {(r["k"], r["val"], r["score"]) for r in out.collect()}
+    assert (3, "updated3", 0.5) in got and (100, "new100", 0.9) in got
+    # a row in an untouched (non-rewritten) bucket reads NULL score
+    assert (0, "v0", None) in got
+    # time travel to v1 still shows the pre-evolution schema
+    assert set(table.read(version=1).columns) == {"k", "val"}
+
+
+def test_compact_rewrites_fragmented_buckets(spark, tmp_path):
+    """compact() must leave every fragmented bucket with one data
+    file, preserve the exact row set, reuse already-compact buckets'
+    files untouched, and commit through the same CAS-versioned path
+    as MERGE. Fragmentation source: a multi-partition write scatters
+    each bucket's rows across one file per writing task."""
+    t = SnapshotTable(spark, str(tmp_path / "ctbl"), key_col="k", n_buckets=4)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, val string"
+    ).repartition(8)
+    t.create(base)
+    before = _rows(t.read())
+    man_before = t._manifest()
+
+    def n_files(rel):
+        full = os.path.join(t.path, rel)
+        return sum(1 for f in os.listdir(full) if f.endswith(".parquet"))
+
+    frag = {b for b, rel in man_before["buckets"].items() if n_files(rel) >= 2}
+    assert frag, "fixture failed to fragment any bucket"
+
+    v = t.compact()
+    assert v == 2 == t.current_version()
+    assert _rows(t.read()) == before
+    man = t._manifest()
+    for b, rel in man["buckets"].items():
+        assert n_files(rel) == 1, (b, rel)
+        if b not in frag:
+            # already-compact buckets were re-referenced, not rewritten
+            assert rel == man_before["buckets"][b]
+    # old snapshot still readable until vacuum; nothing left -> no-op
+    assert _rows(t.read(version=1)) == before
+    assert t.compact() == v

@@ -2,10 +2,11 @@
 
 Opaque ``binary`` columns + typed metadata, processed with
 ``mapInPandas`` kernels (Arrow batches, vectorized numpy inside — no
-per-row Python objects beyond the unavoidable bytes). Real-world
-format decode (JPEG/PNG/audio) is stubbed behind import-tries (the
-container has no PIL/av); the engine's RAWI interchange format makes
-the full pipeline executable and testable:
+per-row Python objects beyond the unavoidable bytes). PNG decodes
+natively (functions/codecs.py — pure stdlib zlib + numpy, no PIL);
+lossy formats (JPEG/audio/video containers) are stubbed behind
+import-tries. The engine's RAWI interchange format keeps the full
+pipeline executable and testable at zero codec cost:
 
     generate -> decode -> feature-extract -> resize -> re-encode -> verify (PSNR)
 
@@ -27,6 +28,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from vtshaver_spark.functions.codecs import (
+    PNG_MAGIC,
+    decode_image,
+    png_encode,
     psnr,
     rawi_decode,
     rawi_encode,
@@ -167,7 +171,7 @@ def phash_fingerprints(
                 {
                     id_col: pdf[id_col],
                     "phash": np.array(
-                        [_phash64(rawi_decode(b)) for b in pdf[bytes_col]],
+                        [_phash64(decode_image(b)) for b in pdf[bytes_col]],
                         dtype=np.int64,
                     ),
                 }
@@ -226,7 +230,7 @@ def decode_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
                 continue
             stats = {k: [] for k in ("mean_r", "mean_g", "mean_b", "luma_std", "phash_check")}
             for blob in pdf[bytes_col]:
-                arr = rawi_decode(blob)
+                arr = decode_image(blob)
                 means = arr.reshape(-1, 3).mean(axis=0)
                 stats["mean_r"].append(float(means[0]))
                 stats["mean_g"].append(float(means[1]))
@@ -253,10 +257,14 @@ def resize_images(
             if pdf.empty:
                 continue
             pdf = pdf.copy()
-            pdf[bytes_col] = [
-                rawi_encode(resize_nearest(rawi_decode(b), out_w, out_h))
-                for b in pdf[bytes_col]
-            ]
+            def _resized(b):
+                # format-preserving: PNG in -> PNG out, else RAWI
+                arr = resize_nearest(decode_image(b), out_w, out_h)
+                if bytes(b[:8]) == PNG_MAGIC:
+                    return png_encode(arr)
+                return rawi_encode(arr)
+
+            pdf[bytes_col] = [_resized(b) for b in pdf[bytes_col]]
             if "w" in pdf.columns:
                 pdf["w"] = np.int32(out_w)
             if "h" in pdf.columns:
@@ -310,6 +318,61 @@ def frame_sample(
     return df.mapInPandas(kernel, schema=schema)
 
 
+def audio_features(
+    df: DataFrame, bytes_col: str = "audio_bytes"
+) -> DataFrame:
+    """Decode WAV blobs (native RIFF/PCM codec — no third-party libs)
+    and emit typed audio metadata: sample rate, channels, duration,
+    RMS level, zero-crossing rate, clipping ratio. The audio member of
+    the decode-last multimodal family: runs AFTER relational pruning,
+    Arrow-batched, executor memory bounded by bytes-per-clip x batch."""
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != bytes_col]
+        + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_cross_rate", T.DoubleType()),
+            T.StructField("clip_ratio", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vtshaver_spark.functions.codecs import wav_decode
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cols = {k: [] for k in (
+                "sample_rate", "n_channels", "n_samples", "duration_s",
+                "rms", "zero_cross_rate", "clip_ratio",
+            )}
+            for blob in pdf[bytes_col]:
+                arr, rate = wav_decode(blob)
+                mono = arr.astype(np.float64).mean(axis=1)
+                n = len(mono)
+                cols["sample_rate"].append(rate)
+                cols["n_channels"].append(arr.shape[1])
+                cols["n_samples"].append(n)
+                cols["duration_s"].append(n / rate)
+                cols["rms"].append(float(np.sqrt(np.mean(mono ** 2))) if n else 0.0)
+                cols["zero_cross_rate"].append(
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if n > 1 else 0.0
+                )
+                cols["clip_ratio"].append(
+                    float(np.mean(np.abs(arr) >= 32767)) if n else 0.0
+                )
+            out = pdf.drop(columns=[bytes_col]).copy()
+            for k, v in cols.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
 def verify_roundtrip_psnr(
     df: DataFrame, original_col: str = "bytes", decoded_col: str = "bytes2"
 ) -> DataFrame:
@@ -326,7 +389,7 @@ def verify_roundtrip_psnr(
                 continue
             vals = []
             for a, b in zip(pdf[original_col], pdf[decoded_col]):
-                p = psnr(rawi_decode(a), rawi_decode(b))
+                p = psnr(decode_image(a), decode_image(b))
                 vals.append(999.0 if p == float("inf") else p)
             pdf = pdf.copy()
             pdf["psnr_db"] = vals

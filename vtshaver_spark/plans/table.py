@@ -149,7 +149,12 @@ class SnapshotTable:
 
     def _read_buckets(self, bucket_dirs: list) -> DataFrame:
         paths = [os.path.join(self.path, p) for p in bucket_dirs]
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: after an evolving merge, pre-evolution bucket
+        # dirs lack the new columns; without footer merging the read
+        # schema would depend on file enumeration order (the new
+        # columns silently dropped when an old file is sampled first).
+        # Missing columns read as NULL — Iceberg's add-column contract.
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def create(self, df: DataFrame) -> int:
         """First snapshot from a full DataFrame. Refuses to run on a
@@ -177,7 +182,9 @@ class SnapshotTable:
         return self._read_buckets(list(man["buckets"].values()))
 
     # -- MERGE --------------------------------------------------------------
-    def merge_into(self, source: DataFrame) -> int:
+    def merge_into(
+        self, source: DataFrame, allow_schema_evolution: bool = False
+    ) -> int:
         """MERGE ON key: matched target rows take the source row
         (update), unmatched source rows insert, other target rows are
         untouched — Iceberg MERGE semantics, copy-on-write.
@@ -188,6 +195,14 @@ class SnapshotTable:
         row set (the second merge rewrites the same buckets to the
         same content). The source must be key-unique (enforced here —
         a multi-match MERGE is an error in Iceberg/ANSI too).
+
+        ``allow_schema_evolution=True`` accepts a source whose column
+        set differs from the table's (Iceberg add-column): the merged
+        buckets union by name with missing columns as NULL, untouched
+        buckets keep their old files, and ``read()``'s footer merge
+        surfaces the widened schema table-wide (old rows read NULL in
+        the new columns). Left False, a mismatched source raises —
+        schema drift should be an explicit decision, not an accident.
         """
         man = self._manifest()
         src = source.withColumn(_BUCKET, self._bucket_col()).cache()
@@ -219,7 +234,9 @@ class SnapshotTable:
                 keep = tgt.join(
                     src_data.select(self.key_col), on=self.key_col, how="left_anti"
                 )
-                merged = keep.unionByName(src_data)
+                merged = keep.unionByName(
+                    src_data, allowMissingColumns=allow_schema_evolution
+                )
             else:
                 merged = src_data
             staged = self._write_buckets(merged, snap_name, affected)
@@ -291,6 +308,43 @@ class SnapshotTable:
         return self._publish(buckets, base)
 
     # -- maintenance --------------------------------------------------------
+    def compact(self, min_files: int = 2) -> int:
+        """Rewrite fragmented buckets into one file each — Iceberg's
+        ``rewrite_data_files`` as a normal CAS-protected commit.
+
+        Many small commits (streaming upserts, per-batch merges) leave
+        each bucket directory holding one parquet file per historical
+        write task; at scale the footer/open overhead dominates scans.
+        Buckets whose directory holds >= ``min_files`` data files are
+        re-read and rewritten via ``repartition(n, _bucket)`` — every
+        surviving bucket lands in exactly one shuffle partition, hence
+        one file; buckets already compact are re-referenced untouched
+        (no data movement, same manifest-reuse path as MERGE). Row set
+        is bit-identical; readers on old snapshots are unaffected
+        until ``vacuum``. Returns the new version (current version if
+        nothing to compact)."""
+        man = self._manifest()
+        frag = []
+        for b, rel in man["buckets"].items():
+            full = os.path.join(self.path, rel)
+            n = sum(
+                1 for f in os.listdir(full)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            if n >= min_files:
+                frag.append(int(b))
+        if not frag:
+            return self.current_version()
+        frag.sort()
+        base = self.current_version()
+        rows = self._read_buckets(
+            [man["buckets"][str(b)] for b in frag]
+        ).repartition(len(frag), self._bucket_col())
+        staged = self._write_buckets(rows, f"snap-{base + 1:06d}", frag)
+        buckets = {int(b): p for b, p in man["buckets"].items()}
+        buckets.update(staged)
+        return self._publish(buckets, base)
+
     def vacuum(self, keep_last: int = 1) -> list:
         """Drop snapshot data directories unreachable from the last
         ``keep_last`` manifests (old manifests are removed too).
