@@ -723,6 +723,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phash_near_dups"] = phash_dups
 
+    def audio_stats(spark, sf_dir):
+        # Audio modality end-to-end: synthesize WAV blobs (integer
+        # closed-form waveform, operators/multimodal.py:
+        # generate_audio_bytes), decode with the native RIFF/PCM codec
+        # and emit typed features. Every metric is exact in IEEE
+        # doubles (integer samples, exactly-representable partial
+        # sums), so the oracle regenerates the PCM in SQL and matches
+        # bit-for-bit — no tolerance, no rounding.
+        from vtshaver_spark.operators.multimodal import (
+            audio_features,
+            generate_audio_bytes,
+        )
+
+        register_views(spark, sf_dir)
+        clips = spark.table("audio_clips_v")
+        blobs = generate_audio_bytes(clips).select("clip_id", "audio_bytes")
+        return audio_features(blobs).select(
+            "clip_id", "sample_rate", "n_channels", "n_samples",
+            "duration_s", "rms", "zero_cross_rate", "clip_ratio",
+        )
+
+    q["audio_stats"] = audio_stats
+
     def events_window_rollup(spark, sf_dir):
         # temporal tumbling-window rollup over the event stream table —
         # the batch counterpart of the streaming watermark rollups
@@ -1283,6 +1306,58 @@ SELECT a.image_id AS img_a, b.image_id AS img_b,
        CAST(bit_count(xor(a.ph64, b.ph64)) AS INT) AS hamming
 FROM pids a JOIN pids b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.ph64, b.ph64)) <= 3
+""")
+
+    # Audio-feature oracle: regenerate every PCM sample from the
+    # integer closed-form (multimodal.py:generate_audio_bytes), then
+    # recompute RMS / zero-cross / clip-ratio. All sums are over
+    # exactly-representable doubles (integer samples; quarter-unit
+    # granularity after the 2-channel mean; totals < 2^53), so
+    # summation order is irrelevant and Spark's numpy path matches
+    # bit-for-bit. Integer SUMs are cast (DuckDB HUGEINT renders as
+    # float64 via pandas fetches — the user_sessions lesson).
+    o["audio_stats"] = _oracle("""
+, asm AS (
+  SELECT a.clip_id, a.n_samples, a.n_channels, r.t, ch.c,
+         LEAST(GREATEST(((r.t * 48271 + a.seed + ch.c * 1013) % 19997 - 9998)
+                        * a.scale, -32768), 32767) AS v
+  FROM audio_clips_v a
+  JOIN range(0, 4500) r(t) ON r.t < a.n_samples
+  JOIN (VALUES (0), (1)) ch(c) ON ch.c < a.n_channels
+),
+amono AS (
+  SELECT clip_id, t, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+  FROM asm GROUP BY clip_id, t
+),
+azc AS (
+  SELECT clip_id, m,
+         CASE WHEN (m < 0) <> (LAG(m) OVER (PARTITION BY clip_id ORDER BY t) < 0)
+              THEN 1 ELSE 0 END AS z
+  FROM amono
+),
+aagg AS (
+  SELECT clip_id,
+         SQRT(SUM(m * m) / COUNT(*)) AS rms,
+         CAST(SUM(z) AS DOUBLE) AS zsum
+  FROM azc GROUP BY clip_id
+),
+aclip AS (
+  SELECT clip_id,
+         CAST(SUM(CASE WHEN ABS(v) >= 32767 THEN 1 ELSE 0 END) AS DOUBLE) AS nclip,
+         CAST(COUNT(*) AS DOUBLE) AS ntot
+  FROM asm GROUP BY clip_id
+)
+SELECT a.clip_id,
+       a.sample_rate,
+       a.n_channels,
+       CAST(a.n_samples AS BIGINT) AS n_samples,
+       CAST(a.n_samples AS DOUBLE) / a.sample_rate AS duration_s,
+       g.rms,
+       g.zsum / (a.n_samples - 1) AS zero_cross_rate,
+       c.nclip / c.ntot AS clip_ratio
+FROM audio_clips_v a
+JOIN aagg g USING (clip_id)
+JOIN aclip c USING (clip_id)
 """)
 
     # MinHash-LSH full-pipeline oracle (portable hash): signatures,

@@ -42,6 +42,30 @@ def test_wav_rejects():
         wav_decode(bytes(bad))
 
 
+def test_generate_audio_bytes_closed_form(spark):
+    """The synthetic WAV generator must reproduce the documented
+    integer closed-form exactly (that formula is what the driver
+    oracle replays in SQL), including hard clipping at scale 4."""
+    from vtshaver_spark.operators.multimodal import generate_audio_bytes
+
+    df = spark.createDataFrame(
+        [("c1", 300, 8000, 2, 17, 4)],
+        "clip_id string, n_samples int, sample_rate int, "
+        "n_channels int, seed int, scale int",
+    )
+    blob = generate_audio_bytes(df).collect()[0]["audio_bytes"]
+    arr, rate = wav_decode(bytes(blob))
+    assert rate == 8000 and arr.shape == (300, 2)
+    t = np.arange(300, dtype=np.int64)
+    for c in range(2):
+        want = np.clip(
+            ((t * 48271 + 17 + c * 1013) % 19997 - 9998) * 4, -32768, 32767
+        )
+        assert np.array_equal(arr[:, c], want.astype(np.int16))
+    # scale 4 pushes past full scale -> clipping present
+    assert (np.abs(arr.astype(np.int32)) >= 32767).any()
+
+
 def test_audio_features_operator(spark):
     from vtshaver_spark.operators.multimodal import audio_features
 

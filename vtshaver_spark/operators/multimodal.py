@@ -318,6 +318,49 @@ def frame_sample(
     return df.mapInPandas(kernel, schema=schema)
 
 
+def generate_audio_bytes(df: DataFrame) -> DataFrame:
+    """Materialize deterministic WAV bytes for each clip row
+    (synthetic corpus bootstrap; real pipelines read blobs from the
+    lake). Expects columns ``clip_id, n_samples, sample_rate,
+    n_channels, seed, scale`` and adds ``audio_bytes``.
+
+    The waveform is pure integer arithmetic so an SQL oracle can
+    replay every sample exactly (no trig, no RNG):
+
+        raw[t, c]  = ((t*48271 + seed + c*1013) % 19997) - 9998
+        pcm[t, c]  = clip(raw * scale, -32768, 32767)
+
+    ``scale`` >= 4 drives peaks past full scale, exercising the
+    clip-ratio path."""
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("audio_bytes", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vtshaver_spark.functions.codecs import wav_encode
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blobs = []
+            for _, r in pdf.iterrows():
+                n, ch = int(r["n_samples"]), int(r["n_channels"])
+                t = np.arange(n, dtype=np.int64)
+                chans = [
+                    (t * 48271 + int(r["seed"]) + c * 1013) % 19997 - 9998
+                    for c in range(ch)
+                ]
+                pcm = np.clip(
+                    np.stack(chans, axis=1) * int(r["scale"]), -32768, 32767
+                ).astype(np.int16)
+                blobs.append(wav_encode(pcm, int(r["sample_rate"])))
+            pdf = pdf.copy()
+            pdf["audio_bytes"] = blobs
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
 def audio_features(
     df: DataFrame, bytes_col: str = "audio_bytes"
 ) -> DataFrame:
@@ -362,8 +405,11 @@ def audio_features(
                     float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
                     if n > 1 else 0.0
                 )
+                # int32 first: np.abs(int16(-32768)) overflows back to
+                # -32768 and a hard-clipped negative peak would be missed
                 cols["clip_ratio"].append(
-                    float(np.mean(np.abs(arr) >= 32767)) if n else 0.0
+                    float(np.mean(np.abs(arr.astype(np.int32)) >= 32767))
+                    if n else 0.0
                 )
             out = pdf.drop(columns=[bytes_col]).copy()
             for k, v in cols.items():

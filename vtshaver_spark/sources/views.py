@@ -167,6 +167,26 @@ CROSS JOIN (SELECT 'a' AS variant UNION ALL SELECT 'b' AS variant) v
 WHERE o_orderkey % 41 = 0
 """
 
+# Audio-clip corpus for the WAV/feature pipeline: every synthesis
+# parameter is integer arithmetic on the order key, and the waveform
+# itself (operators/multimodal.py:generate_audio_bytes) is integer
+# closed-form in (t, seed, channel, scale) — so a SQL oracle can
+# regenerate every PCM sample exactly and recompute RMS/zero-cross/
+# clip-ratio bit-identically in IEEE doubles. scale spans 1-4; 3-4
+# push the +/-9998 raw range past int16 full scale (hard clipping).
+AUDIO_CLIPS_SQL = """
+SELECT
+  o_orderkey AS k,
+  CONCAT('clip_', LPAD(CAST(o_orderkey AS STRING), 8, '0')) AS clip_id,
+  CAST(2000 + (o_orderkey * 13) % 2500 AS INT) AS n_samples,
+  CAST(8000 + (o_orderkey % 3) * 4000 AS INT) AS sample_rate,
+  CAST(1 + o_orderkey % 2 AS INT) AS n_channels,
+  CAST((o_orderkey * 48271) % 7919 AS INT) AS seed,
+  CAST(1 + o_orderkey % 4 AS INT) AS scale
+FROM orders
+WHERE o_orderkey % 211 = 0
+"""
+
 POLYGONS_SQL = """
 SELECT
   n_nationkey + 1 AS polygon_id,
@@ -188,6 +208,7 @@ DERIVED_VIEWS = {
     "vertices_v": VERTICES_SQL,
     "polygons_v": POLYGONS_SQL,
     "variant_images_v": VARIANT_IMAGES_SQL,
+    "audio_clips_v": AUDIO_CLIPS_SQL,
 }
 
 
