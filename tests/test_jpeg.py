@@ -1,0 +1,176 @@
+"""Baseline JPEG codec (functions/jpeg.py): wire format, 4:4:4 and
+4:2:0 roundtrips, restart intervals, unsupported-mode errors, router
+integration, and (when PIL is importable) cross-decoder parity with
+libjpeg."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vtshaver_spark.functions.codecs import decode_image, psnr, synth_image
+from vtshaver_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+try:
+    from PIL import Image  # noqa: F401
+
+    HAS_PIL = True
+except ImportError:
+    HAS_PIL = False
+
+
+def _smooth(w, h):
+    g = np.zeros((h, w, 3), np.uint8)
+    g[:, :, 0] = np.linspace(10, 245, w, dtype=np.uint8)[None, :]
+    g[:, :, 1] = np.linspace(245, 10, h, dtype=np.uint8)[:, None]
+    g[:, :, 2] = 128
+    return g
+
+
+def _markers(b):
+    """Walk the marker structure (skipping entropy data)."""
+    out, pos = [], 2
+    while pos < len(b):
+        assert b[pos] == 0xFF
+        m = b[pos + 1]
+        out.append(m)
+        pos += 2
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", b[pos:pos + 2])
+        pos += ln
+        if m == 0xDA:  # skip entropy bytes to next real marker
+            while pos < len(b):
+                if b[pos] == 0xFF and b[pos + 1] not in (0x00,) and not (
+                    0xD0 <= b[pos + 1] <= 0xD7
+                ):
+                    break
+                pos += 1
+    return out
+
+
+@pytest.mark.parametrize("w,h", [(64, 48), (37, 29), (8, 8), (17, 3)])
+def test_roundtrip_444_dims(w, h):
+    arr = _smooth(w, h)
+    out = jpeg_decode(jpeg_encode(arr, quality=95))
+    assert out.shape == arr.shape
+    assert psnr(arr, out) > 35.0
+
+
+def test_roundtrip_420_and_restart():
+    arr = _smooth(50, 42)  # non-multiple-of-16 -> padded MCU grid
+    for ri in (0, 2):
+        out = jpeg_decode(jpeg_encode(arr, 95, "420", restart_interval=ri))
+        assert out.shape == arr.shape
+        assert psnr(arr, out) > 33.0
+    # restart markers actually present in the entropy stream
+    import re
+
+    b = jpeg_encode(arr, 95, "420", restart_interval=2)
+    assert re.search(b"\xff[\xd0-\xd7]", b)
+    assert 0xDD in _markers(b)  # DRI
+
+
+def test_wire_structure_and_determinism():
+    arr = synth_image("jw", 24, 16)
+    b = jpeg_encode(arr, quality=85)
+    ms = _markers(b)
+    assert ms[0] == 0xE0 and ms[-1] == 0xD9  # JFIF APP0 ... EOI
+    assert ms.count(0xDB) == 2 and ms.count(0xC4) == 4
+    assert 0xC0 in ms and 0xDA in ms
+    assert jpeg_encode(arr, quality=85) == b
+    # quality lowers size
+    assert len(jpeg_encode(arr, 30)) < len(jpeg_encode(arr, 90))
+
+
+def test_quality_extremes_and_flat():
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    assert np.array_equal(jpeg_decode(jpeg_encode(flat, 95)), flat)
+    noisy = synth_image("jq", 32, 32)
+    assert psnr(noisy, jpeg_decode(jpeg_encode(noisy, 100))) > \
+        psnr(noisy, jpeg_decode(jpeg_encode(noisy, 10)))
+
+
+def test_unsupported_modes_named():
+    arr = _smooth(16, 16)
+    b = bytearray(jpeg_encode(arr))
+    # rewrite SOF0 -> SOF2 (progressive)
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        jpeg_decode(bytes(b))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"\x00\x11junk")
+
+
+def test_grayscale_single_component():
+    """1-component scan: build a gray JPEG by editing a 3-component
+    stream's headers down to luma only and re-encoding the scan."""
+    from vtshaver_spark.functions.jpeg import (
+        _BitWriter,
+        _build_codes,
+        _quality_scale,
+        _quantize_component,
+        _encode_one_block,
+        AC_LUMA_BITS, AC_LUMA_VALS, DC_LUMA_BITS, DC_LUMA_VALS,
+        QUANT_LUMA, ZIGZAG,
+    )
+
+    h = w = 16
+    gray = np.linspace(40, 200, h * w).reshape(h, w)
+    qy = _quality_scale(QUANT_LUMA, 95)
+    blocks = _quantize_component(gray.astype(np.float64), qy)
+    out = bytearray(b"\xff\xd8")
+    zz = qy.reshape(64)[ZIGZAG].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + zz.tobytes()
+    out += b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+    out += struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    for tc_th, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    wtr = _BitWriter()
+    dc = _build_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac = _build_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    pred = 0
+    for by in range(blocks.shape[0]):
+        for bx in range(blocks.shape[1]):
+            pred = _encode_one_block(wtr, blocks[by, bx], pred, dc, ac)
+    wtr.flush()
+    out += wtr.out + b"\xff\xd9"
+
+    rgb = jpeg_decode(bytes(out))
+    assert rgb.shape == (h, w, 3)
+    assert np.array_equal(rgb[:, :, 0], rgb[:, :, 1])
+    want = np.clip(gray.round(), 0, 255)
+    assert np.abs(rgb[:, :, 0].astype(float) - want).mean() < 3.0
+
+
+def test_router_sniffs_jpeg():
+    arr = _smooth(32, 24)
+    out = decode_image(jpeg_encode(arr, 95))
+    assert out.shape == arr.shape and psnr(arr, out) > 35.0
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="PIL not installed")
+def test_pil_cross_decoder_parity():
+    """Our encoder's bytes must decode in libjpeg (PIL) to nearly the
+    same pixels our decoder produces, and vice versa — wire-level
+    interop evidence, not just self-consistency."""
+    import io
+
+    from PIL import Image
+
+    arr = _smooth(48, 40)
+    b = jpeg_encode(arr, quality=95)
+    theirs = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+    ours = jpeg_decode(b)
+    assert psnr(theirs, ours) > 35.0
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95,
+                              subsampling=0)
+    assert psnr(arr, jpeg_decode(buf.getvalue())) > 33.0

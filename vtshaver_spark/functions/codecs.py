@@ -285,14 +285,18 @@ def png_decode(b: bytes) -> np.ndarray:
 
 def decode_image(b: bytes) -> np.ndarray:
     """Sniff-and-decode an image blob to (h, w, 3) uint8 RGB.
-    RAWI and PNG decode natively (no third-party libs); other formats
-    (JPEG, ...) fall back to PIL when present, else raise
+    RAWI, PNG and baseline JPEG decode natively (no third-party
+    libs); anything else falls back to PIL when present, else raises
     NotImplementedError naming the missing capability."""
     b = bytes(b)
     if b[:4] == RAWI_MAGIC:
         return rawi_decode(b)
     if b[:8] == PNG_MAGIC:
         return png_decode(b)
+    if b[:2] == b"\xff\xd8":
+        from vtshaver_spark.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(b)
     if HAS_PIL:
         import io
 
@@ -300,7 +304,7 @@ def decode_image(b: bytes) -> np.ndarray:
 
         return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
     raise NotImplementedError(
-        "unrecognized image format (not RAWI/PNG) and PIL is unavailable"
+        "unrecognized image format (not RAWI/PNG/JPEG) and PIL is unavailable"
     )
 
 
