@@ -746,6 +746,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_stats"] = audio_stats
 
+    def video_frame_phash(spark, sf_dir):
+        # Video modality end-to-end: RAWI-concatenation containers
+        # (generate_video_bytes) -> frame_sample demux (every 2nd
+        # frame) -> decode + per-frame average-hash. The oracle
+        # replays each sampled frame's 8x8 average-hash closed-form in
+        # SQL (same machinery as phash_near_dups, per-frame seed
+        # seed + idx*997).
+        from vtshaver_spark.operators.multimodal import (
+            decode_features,
+            frame_sample,
+            generate_video_bytes,
+        )
+
+        register_views(spark, sf_dir)
+        vids = spark.table("videos_v")
+        frames = frame_sample(
+            generate_video_bytes(vids).select("video_id", "video_bytes"),
+            every_n=2,
+        )
+        return decode_features(frames).select(
+            "video_id", "frame_idx",
+            F.col("phash_check").alias("frame_phash"),
+        )
+
+    q["video_frame_phash"] = video_frame_phash
+
     def events_window_rollup(spark, sf_dir):
         # temporal tumbling-window rollup over the event stream table —
         # the batch counterpart of the streaming watermark rollups
@@ -1306,6 +1332,46 @@ SELECT a.image_id AS img_a, b.image_id AS img_b,
        CAST(bit_count(xor(a.ph64, b.ph64)) AS INT) AS hamming
 FROM pids a JOIN pids b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.ph64, b.ph64)) <= 3
+""")
+
+    # Video frame-phash oracle: enumerate the sampled (even) frame
+    # indices per video, then replay the 8x8 average-hash closed-form
+    # for each frame's gradient pixels (per-frame seed = seed +
+    # idx*997) — identical machinery to the phash_near_dups oracle,
+    # grouped by (video, frame) instead of image.
+    o["video_frame_phash"] = _oracle("""
+, vfr AS (
+  SELECT v.video_id, v.w, v.h,
+         v.seed + CAST(n.n_nationkey AS INT) * 997 AS fseed,
+         CAST(n.n_nationkey AS INT) AS frame_idx
+  FROM videos_v v
+  JOIN nation n ON n.n_nationkey < v.n_frames AND n.n_nationkey % 2 = 0
+),
+vgrid AS (SELECT CAST(n_nationkey AS BIGINT) AS i FROM nation WHERE n_nationkey < 8),
+vsamp AS (
+  SELECT f.video_id, f.frame_idx, gy.i * 8 + gx.i AS idx,
+         ( ((gx.i * f.w // 8) * 255 // (f.w - 1))
+         + ((gy.i * f.h // 8) * 255 // (f.h - 1))
+         + (((gx.i * f.w // 8) * 131 + (gy.i * f.h // 8) * 197 + f.fseed) % 251)
+         ) // 3 AS lum
+  FROM vfr f CROSS JOIN vgrid gy CROSS JOIN vgrid gx
+),
+vbits AS (
+  SELECT video_id, frame_idx, idx,
+         CASE WHEN lum * 64 >= SUM(lum) OVER (PARTITION BY video_id, frame_idx)
+              THEN 1 ELSE 0 END AS bit
+  FROM vsamp
+),
+vhalves AS (
+  SELECT video_id, frame_idx,
+         SUM(CASE WHEN bit = 1 AND idx < 32 THEN CAST(1 AS BIGINT) << idx ELSE 0 END) AS lo,
+         SUM(CASE WHEN bit = 1 AND idx >= 32 THEN CAST(1 AS BIGINT) << (idx - 32) ELSE 0 END) AS hi
+  FROM vbits GROUP BY video_id, frame_idx
+)
+SELECT video_id, frame_idx,
+       CAST(CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+                 ELSE hi * 4294967296 + lo END AS BIGINT) AS frame_phash
+FROM vhalves
 """)
 
     # Audio-feature oracle: regenerate every PCM sample from the

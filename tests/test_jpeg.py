@@ -155,6 +155,18 @@ def test_router_sniffs_jpeg():
     assert out.shape == arr.shape and psnr(arr, out) > 35.0
 
 
+def test_resize_preserves_jpeg(spark):
+    from vtshaver_spark.operators.multimodal import resize_images
+
+    arr = _smooth(32, 24)
+    df = spark.createDataFrame(
+        [("a", jpeg_encode(arr, 95))], "image_id string, bytes binary"
+    )
+    out = bytes(resize_images(df, 12, 10).collect()[0]["bytes"])
+    assert out[:2] == b"\xff\xd8"
+    assert jpeg_decode(out).shape == (10, 12, 3)
+
+
 @pytest.mark.skipif(not HAS_PIL, reason="PIL not installed")
 def test_pil_cross_decoder_parity():
     """Our encoder's bytes must decode in libjpeg (PIL) to nearly the

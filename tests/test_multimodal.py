@@ -127,6 +127,37 @@ def test_frame_sample(spark):
     assert all(bytes(r["bytes"])[:4] == b"RAWI" for r in out)
 
 
+def test_generate_video_bytes_closed_form(spark):
+    """Video containers must hold exactly the per-frame closed-form
+    gradient images (seed + i*997) the driver oracle replays; the
+    demux -> decode -> phash chain must agree with direct numpy."""
+    from vtshaver_spark.functions.codecs import synth_gradient_image
+    from vtshaver_spark.operators.multimodal import (
+        _phash64,
+        decode_features,
+        generate_video_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [("v1", 5, 12, 9, 40)],
+        "video_id string, n_frames int, w int, h int, seed int",
+    )
+    blob = bytes(generate_video_bytes(df).collect()[0]["video_bytes"])
+    assert len(blob) == 5 * (12 + 12 * 9 * 3)
+    sampled = frame_sample(
+        generate_video_bytes(df).select("video_id", "video_bytes"), every_n=2
+    )
+    got = {
+        r["frame_idx"]: r["phash_check"]
+        for r in decode_features(sampled).collect()
+    }
+    want = {
+        i: _phash64(synth_gradient_image(40 + i * 997, 12, 9))
+        for i in (0, 2, 4)
+    }
+    assert got == want
+
+
 def test_pil_stub_flag():
     # container truth: PIL absent => decode path must be the gated stub
     assert HAS_PIL is False

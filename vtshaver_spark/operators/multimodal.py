@@ -258,10 +258,15 @@ def resize_images(
                 continue
             pdf = pdf.copy()
             def _resized(b):
-                # format-preserving: PNG in -> PNG out, else RAWI
+                # format-preserving: PNG in -> PNG out, JPEG in ->
+                # JPEG out, else RAWI
                 arr = resize_nearest(decode_image(b), out_w, out_h)
                 if bytes(b[:8]) == PNG_MAGIC:
                     return png_encode(arr)
+                if bytes(b[:2]) == b"\xff\xd8":
+                    from vtshaver_spark.functions.jpeg import jpeg_encode
+
+                    return jpeg_encode(arr)
                 return rawi_encode(arr)
 
             pdf[bytes_col] = [_resized(b) for b in pdf[bytes_col]]
@@ -314,6 +319,36 @@ def frame_sample(
                 yield pd.DataFrame(
                     {id_col: ids, "frame_idx": np.array(idxs, dtype=np.int32), "bytes": frames}
                 )
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def generate_video_bytes(df: DataFrame) -> DataFrame:
+    """Materialize a deterministic RAWI-concatenation "video" per row
+    (the container shape frame_sample demuxes). Expects columns
+    ``video_id, n_frames, w, h, seed``; adds ``video_bytes``. Frame
+    ``i`` is ``synth_gradient_image(seed + i*997, w, h)`` — integer
+    closed-form pixels, so a SQL oracle can replay any frame's
+    average-hash exactly (the video_frame_phash driver query does)."""
+    schema = T.StructType(
+        df.schema.fields + [T.StructField("video_bytes", T.BinaryType())]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            blobs = []
+            for _, r in pdf.iterrows():
+                blobs.append(b"".join(
+                    rawi_encode(synth_gradient_image(
+                        int(r["seed"]) + i * 997, int(r["w"]), int(r["h"])
+                    ))
+                    for i in range(int(r["n_frames"]))
+                ))
+            pdf = pdf.copy()
+            pdf["video_bytes"] = blobs
+            yield pdf
 
     return df.mapInPandas(kernel, schema=schema)
 

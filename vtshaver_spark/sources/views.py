@@ -167,6 +167,23 @@ CROSS JOIN (SELECT 'a' AS variant UNION ALL SELECT 'b' AS variant) v
 WHERE o_orderkey % 41 = 0
 """
 
+# Video corpus for the frame-sampling pipeline: a "video" is a RAWI
+# frame concatenation (operators/multimodal.py:generate_video_bytes);
+# frame i's pixels are the integer closed-form gradient image at seed
+# + i*997, so the oracle can replay any sampled frame's average-hash
+# in SQL (same machinery as the phash_near_dups oracle).
+VIDEOS_SQL = """
+SELECT
+  o_orderkey AS k,
+  CONCAT('vid_', LPAD(CAST(o_orderkey AS STRING), 8, '0')) AS video_id,
+  CAST(4 + o_orderkey % 5 AS INT) AS n_frames,
+  CAST(16 + o_orderkey % 13 AS INT) AS w,
+  CAST(16 + (o_orderkey * 5) % 11 AS INT) AS h,
+  CAST((o_orderkey * 48271) % 997 AS INT) AS seed
+FROM orders
+WHERE o_orderkey % 173 = 0
+"""
+
 # Audio-clip corpus for the WAV/feature pipeline: every synthesis
 # parameter is integer arithmetic on the order key, and the waveform
 # itself (operators/multimodal.py:generate_audio_bytes) is integer
@@ -209,6 +226,7 @@ DERIVED_VIEWS = {
     "polygons_v": POLYGONS_SQL,
     "variant_images_v": VARIANT_IMAGES_SQL,
     "audio_clips_v": AUDIO_CLIPS_SQL,
+    "videos_v": VIDEOS_SQL,
 }
 
 
