@@ -772,6 +772,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["video_frame_phash"] = video_frame_phash
 
+    def winnow_sketch(spark, sf_dir):
+        # Rolling-hash positional fingerprints (robust winnowing, the
+        # MOSS algorithm) over a document subset — portable hash mode
+        # so the oracle replays every selected (pos, fp) exactly. The
+        # window-explicit formulation (operators/dedup.py:
+        # winnow_fingerprints) is shared by both sides: per-(doc,
+        # window) rightmost-min, then distinct.
+        from vtshaver_spark.operators.dedup import winnow_fingerprints
+
+        register_views(spark, sf_dir)
+        docs = spark.table("documents").filter(F.col("doc_id") % 7 == 0)
+        fps = winnow_fingerprints(
+            docs, shingle_n=3, window=4, hash_mode="portable"
+        )
+        return fps.select(
+            "doc", F.col("pos").cast("long").alias("pos"), "fp"
+        )
+
+    q["winnow_sketch"] = winnow_sketch
+
     def events_window_rollup(spark, sf_dir):
         # temporal tumbling-window rollup over the event stream table —
         # the batch counterpart of the streaming watermark rollups
@@ -1496,6 +1516,50 @@ FROM ver WHERE jaccard >= 0.5
     # exact prefix-filter join oracle: brute-force all-pairs Jaccard —
     # legitimate as an oracle precisely because the Spark side claims
     # EXACT recall (prefix filtering loses nothing)
+    # Winnowing oracle: identical tokenization/shingling to the
+    # minhash oracle (positional — no list_distinct), md5 portable
+    # hash, then the SAME window-explicit rightmost-min selection the
+    # Spark operator uses: hash at pos serves windows pos-3..pos
+    # (clipped), per-(doc, win) pick (fp ASC, pos DESC) first, distinct.
+    o["winnow_sketch"] = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents WHERE doc_id % 7 = 0
+),
+sh AS (
+  SELECT doc,
+         CASE WHEN len(t) >= 3
+           THEN list_transform(range(len(t) - 2),
+                               i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))
+           ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+),
+px AS (
+  SELECT doc, len(s) AS n,
+         unnest(list_transform(range(len(s)),
+                               i -> {{'pos': i, 'sg': s[i+1]}})) AS e
+  FROM sh
+),
+ph AS (
+  SELECT doc, n, e.pos AS pos,
+         CAST(md5_number_lower(e.sg) % {P60} AS BIGINT) AS fp
+  FROM px
+),
+wexp AS (
+  SELECT doc, pos, fp, pos - off.o AS win
+  FROM ph CROSS JOIN (SELECT unnest(range(4)) AS o) off
+  WHERE pos - off.o >= 0 AND pos - off.o <= n - 4
+),
+wsel AS (
+  SELECT doc, win, fp, pos,
+         ROW_NUMBER() OVER (PARTITION BY doc, win
+                            ORDER BY fp ASC, pos DESC) AS rn
+  FROM wexp
+)
+SELECT DISTINCT doc, CAST(pos AS BIGINT) AS pos, fp
+FROM wsel WHERE rn = 1
+"""
+
     o["ngram_jaccard_join"] = """
 WITH toks AS (
   SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9]+') AS t

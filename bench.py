@@ -89,6 +89,17 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
     timings: dict = {}
     counts: dict = {}
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if subset == "kernels":
+        # Python-kernel stages want 2-4x tasks per slot (standard
+        # cluster sizing): with exactly one task per slot, any
+        # straggler — co-tenant core theft on this shared host, or a
+        # slow executor on a real cluster — extends the stage by its
+        # full overrun, while surplus tasks let the scheduler rebalance
+        # around it. Only the kernels scaling subset re-sizes: the
+        # relational suite's partitioning was tuned separately and the
+        # headline (subset=all) keeps its historical shape comparable
+        # across rounds.
+        n_part *= int(os.environ.get("SPARK_GRAFT_KER_PART_MULT", "4"))
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -416,7 +427,11 @@ def main():
         if "relational" in wanted:
             runs["relational"] = pair_run(rel_pair, rel_repl, "relational")
         if "kernels" in wanted:
-            os.environ.setdefault("SPARK_GRAFT_ANN_QUERIES", "64")
+            # 256 queries: at 64 the ann hi leg measured 0.996s —
+            # under the ~0.5s scheduling floor's signal threshold, so
+            # it read as fake scaling loss (0.36 "efficiency" with a
+            # plan that is a map-only GEMM)
+            os.environ.setdefault("SPARK_GRAFT_ANN_QUERIES", "256")
             os.environ.setdefault("SPARK_GRAFT_EMB_REPLICATE", "256")
             runs["kernels"] = pair_run(ker_pair, ker_repl, "kernels")
         if "codec" in wanted:

@@ -281,3 +281,74 @@ def test_components_nonconvergence_raises(spark):
     df = spark.createDataFrame(chain, "doc_a string, doc_b string")
     with pytest.raises(RuntimeError, match="did not converge"):
         neardup_components(df, max_iter=2)
+
+
+# ---------------------------------------------------------------------------
+# Robust winnowing (rolling-hash positional fingerprints)
+# ---------------------------------------------------------------------------
+
+def _ref_winnow(text, n=3, w=4):
+    """Independent brute-force robust winnowing (per-window rightmost
+    min) with the portable md5 hash — the Schleimer et al. definition,
+    NOT the window-explicit reformulation the operator uses."""
+    import hashlib
+    import re as _re
+
+    toks = _re.findall(r"[a-z0-9]+", text.lower())
+    grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+    def h(g):
+        return int.from_bytes(
+            hashlib.md5(g.encode()).digest()[8:16], "little"
+        ) % (1 << 60)
+
+    hs = [h(g) for g in grams]
+    sel = set()
+    for j in range(0, len(hs) - w + 1):
+        win = hs[j:j + w]
+        m = min(win)
+        p = j + max(i for i, v in enumerate(win) if v == m)
+        sel.add((p, hs[p]))
+    return sel
+
+
+def test_winnow_matches_reference_definition(spark):
+    from vtshaver_spark.operators.dedup import winnow_fingerprints
+
+    texts = [
+        ("d1", "the quick brown fox jumps over the lazy dog and then "
+               "the quick brown fox naps under the warm sun all day"),
+        ("d2", "completely different words compose this second sample "
+               "document about spark distributed query execution plans"),
+        ("d3", "short text here"),  # 1 shingle < window -> no output
+    ]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    got = {}
+    rows = winnow_fingerprints(df, hash_mode="portable").collect()
+    for r in rows:
+        got.setdefault(r["doc"], set()).add((r["pos"], r["fp"]))
+    assert got.get("d3") is None
+    for d, text in texts[:2]:
+        assert got[d] == _ref_winnow(text), d
+
+
+def test_winnow_guarantee_and_overlap_pairs(spark):
+    """Any shared passage of >= window + n - 1 tokens must yield a
+    shared fingerprint (the MOSS detection guarantee), and
+    winnow_overlap_pairs must surface exactly the planted pair."""
+    from vtshaver_spark.operators.dedup import winnow_overlap_pairs
+
+    passage = "seven shared tokens appear here verbatim exactly"
+    rows = [
+        ("a", f"unrelated prefix words galore {passage} suffix drivel ok"),
+        ("b", f"other beginning material {passage} distinct tail matter"),
+        ("c", "nothing in common with anything else at all whatsoever "
+              "just filler text to pad out the shingle count"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared"]
+        for r in winnow_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert ("a", "b") in pairs
+    assert all({p[0], p[1]} == {"a", "b"} for p in pairs)

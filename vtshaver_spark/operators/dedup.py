@@ -577,3 +577,124 @@ def neardup_components(
         f"neardup_components did not converge in {max_iter} rounds; "
         f"the pair graph has a longer-diameter component than expected"
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    window: int = 4,
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """Positional document fingerprints by robust winnowing — the
+    rolling-hash fingerprint family (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003; the MOSS algorithm), complementing the set-based
+    sketches (MinHash/SimHash): winnowed fingerprints carry POSITIONS,
+    so shared fingerprints localize the matching passage
+    (plagiarism/contamination detection), and selection is guaranteed
+    to pick at least one fingerprint from every ``window``-length run
+    of k-grams (any match of length >= window + shingle_n - 1 tokens
+    is detected).
+
+    Algorithm: positional k-gram hashes; every window of ``window``
+    consecutive hashes selects its minimum, rightmost on ties; the
+    DISTINCT selected (hash, pos) set is the sketch (expected density
+    2/(window+1)).
+
+    Formulated window-explicitly so Spark and the SQL oracle share one
+    definition: each hash at position p serves the windows
+    ``p-window+1 .. p`` (clipped to valid starts); a per-(doc, window)
+    MIN over a (fp, -pos) struct implements rightmost-min-wins. One
+    doc-keyed window pass + one grouped aggregation + one distinct;
+    expansion factor is exactly ``window`` and all keys carry the doc
+    id, so the 100 TB shape is per-doc-local work behind doc-hash
+    exchanges — no corpus-wide products anywhere.
+
+    Docs with fewer than ``window`` k-grams have no complete window
+    and produce no fingerprints (the MOSS contract: texts shorter than
+    the guarantee threshold t = window + shingle_n - 1 are below the
+    detectable-match floor).
+
+    Output: one row per fingerprint — (doc, pos, fp).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(shingles(F.col(text_col), shingle_n)).alias("pos", "_s"),
+    )
+    if hash_mode == "portable":
+        h = portable_hash60(F.col("_s"))
+    else:
+        h = F.pmod(F.xxhash64("_s"), F.lit(MH_PRIME))
+    sh = sh.select("doc", "pos", h.alias("fp"))
+    sh = sh.withColumn("_n", F.count("*").over(Window.partitionBy("doc")))
+    exp = (
+        sh.select(
+            "doc", "pos", "fp", "_n",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(window - 1))
+            ).alias("_off"),
+        )
+        .withColumn("win", F.col("pos") - F.col("_off"))
+        .filter(
+            (F.col("win") >= 0) & (F.col("win") <= F.col("_n") - F.lit(window))
+        )
+    )
+    sel = (
+        exp.groupBy("doc", "win")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("fp"), (-F.col("pos")).alias("_np"), F.col("pos")
+                )
+            ).alias("_m")
+        )
+        .select("doc", F.col("_m.pos").alias("pos"), F.col("_m.fp").alias("fp"))
+    )
+    return sel.distinct()
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    hash_mode: str = "fast",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints
+    — passage-level overlap detection (contamination/plagiarism),
+    positionless on the pair side.
+
+    Same candidate-generation discipline as the LSH paths: group by
+    fingerprint value, cap pathological buckets (a fingerprint shared
+    by thousands of docs is boilerplate, not plagiarism — and its
+    pair expansion is quadratic), expand pairs bucket-locally, then
+    count shared fingerprints per pair. Never an all-pairs product.
+
+    Output: (doc_a, doc_b, shared) with doc_a < doc_b.
+    """
+    fps = winnow_fingerprints(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        window=window, hash_mode=hash_mode,
+    ).select("doc", "fp").distinct()
+    grouped = fps.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc")).alias("_docs"),
+        F.count("*").alias("_sz"),
+    ).filter(F.col("_sz") >= 2)
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.col("_sz") <= max_bucket_size)
+    pairs = (
+        grouped.select(
+            F.explode("_docs").alias("doc_a"), F.col("_docs").alias("_ds")
+        )
+        .select("doc_a", F.explode("_ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
