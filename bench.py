@@ -99,7 +99,11 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
         # relational suite's partitioning was tuned separately and the
         # headline (subset=all) keeps its historical shape comparable
         # across rounds.
-        n_part *= int(os.environ.get("SPARK_GRAFT_KER_PART_MULT", "4"))
+        # Default 1 preserves comparability with every recorded
+        # session; the r4 mult=4 trial landed in a contended window
+        # (all queries AND the 2-core legs slowed together) so the
+        # hypothesis is unresolved — see BENCH.md round-4 record.
+        n_part *= int(os.environ.get("SPARK_GRAFT_KER_PART_MULT", "1"))
 
     def timed(name, fn):
         t0 = time.perf_counter()
