@@ -792,6 +792,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["winnow_sketch"] = winnow_sketch
 
+    def token_packing(spark, sf_dir):
+        # LLM-pretraining sequence packing (concat-and-chunk): every
+        # doc's global token interval and the fixed-length training
+        # sequences it spans. The Spark side computes the global
+        # prefix sum with the two-phase distributed formulation
+        # (operators/packing.py — no single-partition global window);
+        # the oracle is the plain SQL window cumsum, so the driver
+        # verifies the distributed prefix sum IS the global one.
+        from vtshaver_spark.operators.packing import pack_token_sequences
+
+        register_views(spark, sf_dir)
+        return pack_token_sequences(spark.table("documents"), seq_len=512)
+
+    q["token_packing"] = token_packing
+
     def events_window_rollup(spark, sf_dir):
         # temporal tumbling-window rollup over the event stream table —
         # the batch counterpart of the streaming watermark rollups
@@ -1516,6 +1531,32 @@ FROM ver WHERE jaccard >= 0.5
     # exact prefix-filter join oracle: brute-force all-pairs Jaccard —
     # legitimate as an oracle precisely because the Spark side claims
     # EXACT recall (prefix filtering loses nothing)
+    # Sequence-packing oracle: the straightforward global window
+    # cumsum (fine in DuckDB; the thing the Spark side must NOT do at
+    # scale) — window SUM cast to BIGINT per the HUGEINT lesson.
+    o["token_packing"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
+  FROM t
+)
+SELECT doc_id, n_tok,
+       cum_end - n_tok AS cum_start,
+       cum_end,
+       CASE WHEN n_tok > 0 THEN (cum_end - n_tok) // 512 END AS first_seq,
+       CASE WHEN n_tok > 0 THEN (cum_end - 1) // 512 END AS last_seq,
+       CAST(CASE WHEN n_tok > 0
+                 THEN (cum_end - 1) // 512 - (cum_end - n_tok) // 512 + 1
+                 ELSE 0 END AS BIGINT) AS n_seqs
+FROM c
+"""
+
     # Winnowing oracle: identical tokenization/shingling to the
     # minhash oracle (positional — no list_distinct), md5 portable
     # hash, then the SAME window-explicit rightmost-min selection the

@@ -1,0 +1,134 @@
+"""Sequence packing for LLM pretraining data (concat-and-chunk).
+
+The canonical pretraining layout: concatenate every document's tokens
+in a stable global order, then cut the stream into fixed-length
+training sequences. Each document therefore owns a global token
+interval [cum_start, cum_end), and the sequences it contributes to
+are floor(cum_start / L) .. floor((cum_end - 1) / L).
+
+The only primitive this needs at 100 TB is a GLOBAL ORDERED PREFIX
+SUM — which a naive `Window.orderBy(doc)` computes on ONE partition
+(the whole corpus through a single task: the classic scale trap). The
+implementation here is the standard two-phase distributed prefix sum:
+
+  1. range-repartition by the order key (parallel range sort),
+  2. per-partition running totals (a window WITHIN each partition —
+     every partition works independently),
+  3. one tiny aggregation of per-partition sums (#partitions rows —
+     bounded by cluster size, NOT corpus size) whose running offsets
+     broadcast back via a BroadcastHashJoin.
+
+Determinism: range boundaries are sampled, so WHICH partition a doc
+lands in varies run to run — but partition-relative cumsum + that
+partition's offset is the same global prefix sum for any boundary
+choice (ranges are disjoint and sorted). Results are bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vtshaver_spark.functions.text import token_count
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_end",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact prefix sum of ``value_col`` over the global ``order_col``
+    order, without ever materializing the corpus in one task.
+
+    Adds ``out_col`` = inclusive running total. Two small shuffles
+    (range partition + pid-keyed window) plus one #partitions-row
+    aggregate; nothing driver-side scales with the data.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint pins the sampled range boundaries: the ranged
+    # exchange feeds TWO consumers (offsets agg + the windowed rows),
+    # and a recomputed RangePartitioner could re-sample different
+    # boundaries — desynchronizing offsets from rows. Materializing
+    # once (narrow projection: order + value columns only) removes the
+    # hazard; same discipline as neardup_components' lineage pin.
+    ranged = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # per-partition running total (window keys = physical partition,
+    # so every partition windows independently — no global sort task)
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    local = ranged.withColumn("_local_cum", F.sum(value_col).over(w))
+    # per-partition totals -> running offsets (tiny: one row per
+    # partition); broadcast back
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.max("_local_cum").alias("_ptot"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_ptot").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
+        .drop("_pid", "_local_cum")
+    )
+
+
+def pack_token_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Map every document to its place in the packed training stream.
+
+    Output columns (one row per document, global ``id_col`` order):
+      - ``n_tok``: the document's token count
+      - ``cum_start`` / ``cum_end``: its global token interval
+      - ``first_seq`` / ``last_seq``: the training sequences it spans
+      - ``n_seqs``: how many sequences it touches (straddlers > 1)
+
+    Zero-token documents occupy an empty interval: they belong to no
+    sequence (``first_seq``/``last_seq`` NULL, ``n_seqs`` 0) — the
+    concat stream simply skips them.
+    """
+    toks = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("n_tok")
+    )
+    cum = global_prefix_sum(
+        toks, order_col=id_col, value_col="n_tok",
+        num_partitions=num_partitions,
+    )
+    cum = cum.withColumn(
+        "cum_start", (F.col("cum_end") - F.col("n_tok")).cast("long")
+    ).withColumn("cum_end", F.col("cum_end").cast("long"))
+    nonempty = F.col("n_tok") > 0
+    return cum.select(
+        id_col,
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "cum_start",
+        "cum_end",
+        F.when(nonempty, F.floor(F.col("cum_start") / seq_len))
+        .cast("long").alias("first_seq"),
+        F.when(nonempty, F.floor((F.col("cum_end") - 1) / seq_len))
+        .cast("long").alias("last_seq"),
+        F.when(
+            nonempty,
+            F.floor((F.col("cum_end") - 1) / seq_len)
+            - F.floor(F.col("cum_start") / seq_len) + 1,
+        ).otherwise(F.lit(0)).cast("long").alias("n_seqs"),
+    )
