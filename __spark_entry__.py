@@ -807,6 +807,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_packing"] = token_packing
 
+    def repetition_quality(spark, sf_dir):
+        # Gopher-style repetition filters: duplicate-token fraction +
+        # top-2gram character coverage, deterministic tie-breaks so
+        # the oracle replays the argmax exactly.
+        from vtshaver_spark.operators.quality import repetition_signals
+
+        register_views(spark, sf_dir)
+        return repetition_signals(spark.table("documents"))
+
+    q["repetition_quality"] = repetition_quality
+
     def events_window_rollup(spark, sf_dir):
         # temporal tumbling-window rollup over the event stream table —
         # the batch counterpart of the streaming watermark rollups
@@ -1555,6 +1566,50 @@ SELECT doc_id, n_tok,
                  THEN (cum_end - 1) // 512 - (cum_end - n_tok) // 512 + 1
                  ELSE 0 END AS BIGINT) AS n_seqs
 FROM c
+"""
+
+    # Repetition-signals oracle: same tokenization, positional
+    # bigrams, per-doc argmax with (count DESC, gram ASC) tie-break,
+    # char coverage over the normalized join length.
+    o["repetition_quality"] = """
+WITH t AS (
+  SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+base AS (
+  SELECT doc,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         CASE WHEN len(tk) > 0
+              THEN 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+              ELSE 0.0 END AS dup_token_frac,
+         CAST(length(array_to_string(tk, ' ')) AS DOUBLE) AS norm_chars,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(len(tk) - 1),
+                                  i -> concat_ws(' ', tk[i+1], tk[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS bi
+  FROM t
+),
+cnt AS (
+  SELECT doc, g, COUNT(*) AS c
+  FROM (SELECT doc, unnest(bi) AS g FROM base)
+  GROUP BY doc, g
+),
+top AS (
+  SELECT doc, g AS top_bigram, CAST(c AS BIGINT) AS top_bigram_count
+  FROM (SELECT doc, g, c,
+               ROW_NUMBER() OVER (PARTITION BY doc
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM cnt)
+  WHERE rn = 1
+)
+SELECT b.doc, b.n_tokens, b.dup_token_frac,
+       t2.top_bigram,
+       CAST(COALESCE(t2.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       CASE WHEN t2.top_bigram IS NOT NULL AND b.norm_chars > 0
+            THEN LEAST(t2.top_bigram_count * length(t2.top_bigram)
+                       / b.norm_chars, 1.0)
+            ELSE 0.0 END AS top_bigram_char_frac
+FROM base b LEFT JOIN top t2 USING (doc)
 """
 
     # Winnowing oracle: identical tokenization/shingling to the
