@@ -909,6 +909,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_dedup"] = bloom_dedup
 
+    def doc_chunks(spark, sf_dir):
+        # context-length chunking (fixed token windows with overlap) —
+        # map-only codegen Columns (split/slice/array_join), no
+        # interpreted higher-order lambdas; doc-local output
+        from vtshaver_spark.operators.packing import chunk_documents
+
+        register_views(spark, sf_dir)
+        return chunk_documents(
+            spark.table("documents"), chunk_tokens=64, overlap=16
+        )
+
+    q["doc_chunks"] = doc_chunks
+
     def events_window_rollup(spark, sf_dir):
         # temporal tumbling-window rollup over the event stream table —
         # the batch counterpart of the streaming watermark rollups
@@ -1759,6 +1772,34 @@ SELECT e.doc_id,
             THEN CAST(p.n_hit AS DOUBLE) / p.n_sh >= 0.1
             ELSE FALSE END AS is_contaminated
 FROM ev e LEFT JOIN per p USING (doc_id)
+"""
+
+    # Chunking oracle: same tokenization, 1-based inclusive list_slice
+    # mirrors Spark's 1-based slice(); stride = 64 - 16 = 48.
+    o["doc_chunks"] = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+b AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) <= 0 THEN 0
+              ELSE 1 + GREATEST(0, CAST(CEIL((len(tk) - 64) / 48.0) AS BIGINT))
+         END AS n_chunks
+  FROM t
+),
+e AS (
+  SELECT doc_id, tk, n, n_chunks, unnest(range(n_chunks)) AS chunk_idx
+  FROM b WHERE n_chunks > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(chunk_idx * 48 AS BIGINT) AS chunk_start,
+       CAST(LEAST(64, n - chunk_idx * 48) AS BIGINT) AS chunk_len,
+       array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+         AS chunk_text
+FROM e
 """
 
     # Stratified-sampling oracle: identical integer thresholds in the

@@ -202,20 +202,51 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
             lambda: minhash_lsh_candidates(documents, num_hashes=32, bands=8).count(),
         )
     if kernels:
+        if subset == "kernels":
+            s2_repl = replicate * int(
+                os.environ.get("SPARK_GRAFT_S2_REPL_MULT", "4")
+            )
+            images_s2 = _replicate(
+                spark.table("images_v").select("lon", "lat"), s2_repl, n_part
+            ).cache()
+            cached.append(images_s2)
+            images_s2.count()
+        else:
+            images_s2 = images
         timed(
             "s2_cells",
             # collect the scalar: .count() on a global agg would let
-            # Catalyst prune the UDF entirely
-            lambda: with_s2_cell(images, level=10)
+            # Catalyst prune the UDF entirely.
+            # In the scaling subset s2 gets ITS OWN (bigger) corpus:
+            # at the suite-wide x128 its hi leg runs ~1.6s — too close
+            # to the ~0.5s floor + transport constant for a scaling
+            # signal (read 0.597 in an otherwise-clean session); the
+            # slim (lon, lat) projection keeps the 4x corpus ~1.2 GB.
+            lambda: with_s2_cell(images_s2, level=10)
             .select(F.countDistinct("cell_s2").alias("c"))
             .collect()[0][0],
         )
         # slim projection: at scale you kNN on (id, lon, lat) and join
-        # wide columns back by id
-        images_slim = images.select("image_id", "lon", "lat")
+        # wide columns back by id. In the scaling subset the knn corpus
+        # gets ITS OWN task sizing: with the r4 DRAM-blocked kernel,
+        # 1 task/slot probes at eff 0.823 vs 0.767 at 4 tasks/slot —
+        # blocking removed the contention that straggler smoothing was
+        # compensating for, so extra task-launch overhead now just
+        # costs (pre-block it was the reverse: 0.785 at mult=4 vs
+        # 0.67 at mult=1).
+        if subset == "kernels":
+            knn_mult = int(os.environ.get("SPARK_GRAFT_KNN_PART_MULT", "1"))
+            images_knn = _replicate(
+                spark.table("images_v").select("image_id", "lon", "lat"),
+                replicate, n_part * knn_mult,
+            ).cache()
+            cached.append(images_knn)
+            images_knn.count()
+        else:
+            images_knn = images.select("image_id", "lon", "lat")
         timed(
             "knn",
-            lambda: knn_join_broadcast(images_slim, landmarks, k=3).count(),
+            lambda: knn_join_broadcast(images_knn, landmarks, k=3).count(),
         )
         # query-set size is the GEMM work multiplier; the scaling
         # harness raises it so ann_cosine sits well above the ~0.5s
@@ -431,12 +462,14 @@ def main():
         if "relational" in wanted:
             runs["relational"] = pair_run(rel_pair, rel_repl, "relational")
         if "kernels" in wanted:
-            # 256 queries: at 64 the ann hi leg measured 0.996s —
-            # under the ~0.5s scheduling floor's signal threshold, so
-            # it read as fake scaling loss (0.36 "efficiency" with a
-            # plan that is a map-only GEMM)
-            os.environ.setdefault("SPARK_GRAFT_ANN_QUERIES", "256")
-            os.environ.setdefault("SPARK_GRAFT_EMB_REPLICATE", "256")
+            # 2048 queries / 512x corpus: the r4 blocked ANN kernel is
+            # ~5x faster per batch, which pushed the old 256-query
+            # sizing back under the ~0.5s scheduling floor (hi leg
+            # <1s, fake 0.48 "efficiency"); at 2048q the hi leg runs
+            # ~6s and the GEMM dominates the core-count-independent
+            # transport floor (probed eff 0.73-0.75 vs 0.48)
+            os.environ.setdefault("SPARK_GRAFT_ANN_QUERIES", "2048")
+            os.environ.setdefault("SPARK_GRAFT_EMB_REPLICATE", "512")
             runs["kernels"] = pair_run(ker_pair, ker_repl, "kernels")
         if "codec" in wanted:
             codec_repl = int(os.environ.get("SPARK_GRAFT_CODEC_REPLICATE", "32"))
@@ -558,6 +591,46 @@ hi 36.3 -> **0.77**; kernels s2 0.67, knn 0.70, ann 0.61 (at the
 counterpart in the same direction and magnitude as the hi-leg
 contention, with identical physical plans (re-audited: no plan diff
 vs r3 for any kernel/codec query).
+
+## Round-4 kernel fixes (2026-08-18, clean-window day): kernels clear 0.8
+
+A quiet host (load = our own legs all day) let the kernels gap be
+root-caused STRUCTURALLY instead of waiting out tenancy. Three
+interleaved kernels-only sessions, each after one change:
+
+| session | change | s2 | knn | ann | suite |
+|---|---|---|---|---|---|
+| K4 | none (r3 kernels, mult=1) | 0.71 | 0.67 | 0.51 | 0.666 |
+| K5 | tasks/slot x4 + ann 512-rep | 0.55 | 0.785 | 0.48 | 0.738 |
+| K6 | DRAM-blocked ANN kernel, ann 2048q | 0.60 | 0.767 | 0.773 | 0.758 |
+| K7 | DRAM-blocked kNN kernel, knn mult back to 1, s2 x4 corpus | 0.728 | **0.976** | **0.871** | **0.896** |
+
+The structural findings (isolation-probed, then confirmed in-suite):
+
+1. **DRAM-bandwidth contention was the scaling killer, not Python.**
+   cosine_topk's old kernel round-tripped a (queries x batch) cosine
+   matrix plus np.partition's full copy through DRAM (~0.5 GB/batch
+   at 2000 queries); the kNN kernel did the same with an 80 MB
+   distance block + 80 MB argpartition index copy at m=1000
+   landmarks. Under 8-way worker concurrency that contends on the
+   single socket exactly like a packed executor. QUERY-BLOCKING
+   (64-query strips, operators/ann.py) and ROW-BLOCKING (4 MB point
+   strips, operators/knn.py) keep the working set cache-resident:
+   isolated 8-proc microbenches show per-worker slowdown vs 2-proc
+   falling 11.6%->3.7% (ann) and 13.5%->9% (knn), with 25%/8%
+   absolute wins. In-suite: knn 0.67 -> 0.976, ann 0.48 -> 0.871.
+2. **Straggler-smoothing (tasks/slot x4) was compensation, not cure**:
+   it bought knn +0.11 on the CONTENDED kernel (K5) and costs ~3% on
+   the blocked one (probe: mult=1 0.823 vs in-suite mult=4 0.767) —
+   the knob stays available but defaults to 1 again.
+3. **The faster a kernel gets, the bigger its floor-proof workload
+   must be**: the blocked ANN kernel at the old 256-query sizing ran
+   its hi leg under 1s (fake 0.48); 2048 queries put the GEMM back
+   above the core-count-independent transport floor (measured ~0.45s
+   job floor + ~1s Arrow transport that does NOT parallelize in
+   local mode). Same for s2: its own x4 corpus lifts the hi leg from
+   1.6s to ~5s (0.60 -> 0.728; s2 stays the transport-bound floor
+   case — its kernel is too cheap per row for transport to amortize).
 """
 
 

@@ -73,3 +73,45 @@ def test_prefix_sum_no_global_sort_task(spark):
     for line in plan.splitlines():
         if "Window" in line and "_pid" not in line:
             assert "_ptot" in line, line
+
+
+def test_chunk_documents_windows(spark):
+    from vtshaver_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),                               # shorter than chunk
+            (3, "!!! ..."),                             # zero tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_start"], r["chunk_len"],
+         r["chunk_text"])
+        for r in out.collect()
+    )
+    # doc 1: stride 3 -> starts 0,3,6 and one tail at 9? n=10:
+    # n_chunks = 1 + ceil((10-4)/3) = 3 -> starts 0,3,6 (covers to 10)
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 3, 4, "w3 w4 w5 w6"),
+        (1, 2, 6, 4, "w6 w7 w8 w9"),
+    ]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, 0, 3, "a b c")]
+    assert not [r for r in rows if r[0] == 3]
+    # every token position is covered by at least one chunk
+    n_chunks = {r["doc_id"]: r["n_chunks"] for r in out.collect()}
+    assert n_chunks == {1: 3, 2: 1}
+
+
+def test_chunk_documents_validation(spark):
+    import pytest
+    from vtshaver_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vtshaver_spark.functions.text import token_count
+from vtshaver_spark.functions.text import token_count, tokens
 
 
 def global_prefix_sum(
@@ -84,6 +84,91 @@ def global_prefix_sum(
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
         .drop("_pid", "_local_cum")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token windows (the
+    context-length chunking step of a pretraining / retrieval
+    pipeline).
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the last chunk may be short, and
+    a chunk that would start at or past the end is not emitted (so a
+    doc with n_tok <= chunk_tokens yields exactly one chunk).
+    Documents with zero tokens yield no rows.
+
+    100 TB shape: MAP-ONLY — tokenize once, explode a per-doc index
+    sequence, slice the token array per chunk. Everything is codegen
+    Column work (split/slice/array_join — none of Spark's interpreted
+    higher-order lambdas); output is doc-local, so downstream
+    (embedding, dedup) inherits the input partitioning.
+
+    Output: id_col, chunk_idx, n_chunks, chunk_start (0-based token
+    offset), chunk_len, chunk_text.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be > 0, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    # number of chunks: 1 + ceil((n - chunk) / stride) for n > 0
+    n_chunks = F.when(F.col("_n") <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.greatest(
+            F.lit(0),
+            F.ceil((F.col("_n") - F.lit(chunk_tokens)) / F.lit(stride)),
+        )
+    )
+    out = (
+        toks.withColumn("n_chunks", n_chunks.cast("long"))
+        .filter(F.col("n_chunks") > 0)
+        .select(
+            id_col,
+            "n_chunks",
+            "_t",
+            "_n",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))
+            ).alias("chunk_idx"),
+        )
+        .withColumn(
+            "chunk_start", F.col("chunk_idx").cast("long") * F.lit(stride)
+        )
+        .withColumn(
+            "chunk_len",
+            F.least(
+                F.lit(chunk_tokens).cast("long"),
+                F.col("_n") - F.col("chunk_start"),
+            ),
+        )
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "n_chunks",
+        "chunk_start",
+        "chunk_len",
+        F.array_join(
+            # slice() is 1-based on the token array
+            F.slice(
+                F.col("_t"),
+                (F.col("chunk_start") + 1).cast("int"),
+                F.lit(chunk_tokens),
+            ),
+            " ",
+        ).alias("chunk_text"),
     )
 
 
