@@ -425,6 +425,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tile_cell_ids"] = tile_cells
 
+    def tile_pyramid(spark, sf_dir):
+        # hierarchical rollup: ONE scan + base hash agg at z7, then a
+        # cascade where each coarser level (z6..z4) aggregates the
+        # PREVIOUS level's output (parent = x>>1, y>>1) — geometric
+        # shrink, never a re-scan
+        register_views(spark, sf_dir)
+        return geo.tile_pyramid(spark.table("images_v"), z_base=7, z_min=4)
+
+    q["tile_pyramid"] = tile_pyramid
+
     # --- spatial joins (G3, G4) ------------------------------------------
     def knn(spark, sf_dir):
         register_views(spark, sf_dir)
@@ -1265,6 +1275,34 @@ SELECT CAST(7 AS INT) AS z, {tx7} AS x, {ty7} AS y,
        COUNT(DISTINCT caption_landmark_id) AS n_landmarks
 FROM images_v
 GROUP BY 1, 2, 3
+""")
+
+    # Pyramid oracle mirrors the cascade: base group-by at z7, each
+    # coarser level aggregates the previous CTE via integer halving.
+    # SUM is cast back to BIGINT per level (DuckDB SUM(BIGINT) returns
+    # HUGEINT, which pandas-style fetches render as float — the
+    # user_sessions lesson).
+    o["tile_pyramid"] = _oracle(f"""
+, base AS (
+  SELECT {tx7} AS x, {ty7} AS y, COUNT(*) AS n_points
+  FROM images_v GROUP BY 1, 2
+),
+l6 AS (
+  SELECT x // 2 AS x, y // 2 AS y, CAST(SUM(n_points) AS BIGINT) AS n_points
+  FROM base GROUP BY 1, 2
+),
+l5 AS (
+  SELECT x // 2 AS x, y // 2 AS y, CAST(SUM(n_points) AS BIGINT) AS n_points
+  FROM l6 GROUP BY 1, 2
+),
+l4 AS (
+  SELECT x // 2 AS x, y // 2 AS y, CAST(SUM(n_points) AS BIGINT) AS n_points
+  FROM l5 GROUP BY 1, 2
+)
+SELECT CAST(7 AS INT) AS z, x, y, n_points FROM base
+UNION ALL SELECT CAST(6 AS INT), x, y, n_points FROM l6
+UNION ALL SELECT CAST(5 AS INT), x, y, n_points FROM l5
+UNION ALL SELECT CAST(4 AS INT), x, y, n_points FROM l4
 """)
 
     tx6 = geo.tile_x_sql("lon", 6)

@@ -139,3 +139,42 @@ def test_grid_disk_tile():
     assert (5 << 58) + (31 << 29) + 3 in disk
     # pole clamp: y=0 drops the out-of-range row
     assert len(grid_disk_tile((5 << 58) + (4 << 29) + 0, 1)) == 6
+
+
+def test_tile_pyramid_cascade(spark):
+    # 4 points: two in the same z2 tile, two elsewhere
+    pts = spark.createDataFrame(
+        [(-122.42, 37.77), (-122.40, 37.70), (139.69, 35.69), (12.5, 41.9)],
+        "lon double, lat double",
+    )
+    out = geo.tile_pyramid(pts, z_base=4, z_min=0).collect()
+    by_z = {}
+    for r in out:
+        by_z.setdefault(r["z"], []).append(r)
+    assert set(by_z) == {0, 1, 2, 3, 4}
+    # every level conserves the total point count
+    for z, rows in by_z.items():
+        assert sum(r["n_points"] for r in rows) == 4, z
+    # z0 is the single world tile
+    assert [(r["x"], r["y"], r["n_points"]) for r in by_z[0]] == [(0, 0, 4)]
+    # parent address is the child address halved; every child's count
+    # is included in exactly its parent
+    for z in range(4, 0, -1):
+        parents = {(r["x"], r["y"]): r["n_points"] for r in by_z[z - 1]}
+        rollup = {}
+        for r in by_z[z]:
+            key = (r["x"] >> 1, r["y"] >> 1)
+            rollup[key] = rollup.get(key, 0) + r["n_points"]
+        assert rollup == parents, z
+    # base level matches the direct reference formula
+    base = {(r["x"], r["y"]): r["n_points"] for r in by_z[4]}
+    expect = {}
+    for lon, lat in [(-122.42, 37.77), (-122.40, 37.70), (139.69, 35.69), (12.5, 41.9)]:
+        expect[ref_tile(lon, lat, 4)] = expect.get(ref_tile(lon, lat, 4), 0) + 1
+    assert base == expect
+
+
+def test_tile_pyramid_validation(spark):
+    pts = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
+    with pytest.raises(ValueError):
+        geo.tile_pyramid(pts, z_base=3, z_min=4)

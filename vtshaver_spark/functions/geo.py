@@ -54,6 +54,54 @@ def with_tile(df, lon: str = "lon", lat: str = "lat", z: int = 5):
     )
 
 
+def tile_pyramid(
+    df,
+    z_base: int,
+    z_min: int,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> "DataFrame":
+    """Hierarchical tile-count pyramid: point counts at ``z_base``,
+    then every coarser level down to ``z_min`` aggregated from the
+    PREVIOUS level (parent x = x >> 1, y = y >> 1) — the rollup a tile
+    server precomputes so low-zoom tiles don't re-scan the corpus.
+
+    100 TB shape: the raw corpus is scanned ONCE (a single hash agg
+    shuffled on z_base tile keys, with map-side partial combine);
+    every coarser level consumes the previous level's OUTPUT, which
+    shrinks ~4x per step, so the cascade costs a geometric series of
+    tiny shuffles instead of (z_base - z_min) full scans. The shared
+    base subplan appears once per union branch but its shuffle is
+    deduplicated by Spark's ReusedExchange.
+
+    Output: z (int), x, y (bigint), n_points (bigint) for every
+    non-empty tile at each level.
+    """
+    if not 0 <= z_min <= z_base:
+        raise ValueError(
+            f"need 0 <= z_min <= z_base, got z_min={z_min} z_base={z_base}"
+        )
+    level = (
+        with_tile(df, lon=lon, lat=lat, z=z_base)
+        .groupBy("z", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    out = level
+    for z in range(z_base - 1, z_min - 1, -1):
+        level = (
+            level.select(
+                F.lit(z).cast("int").alias("z"),
+                F.shiftright(F.col("x"), 1).alias("x"),
+                F.shiftright(F.col("y"), 1).alias("y"),
+                "n_points",
+            )
+            .groupBy("z", "x", "y")
+            .agg(F.sum("n_points").alias("n_points"))
+        )
+        out = out.unionByName(level)
+    return out
+
+
 def tile_cell(z: ColumnOrName, x: ColumnOrName, y: ColumnOrName) -> Column:
     """Packs (z,x,y) into one sortable bigint cell id.
 
