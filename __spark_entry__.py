@@ -462,8 +462,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def caption_join(spark, sf_dir):
         register_views(spark, sf_dir)
         imgs = spark.table("images_v").filter(F.col("k") % 53 == 0)
+        # caption is carried through to the output so the oracle hash
+        # proves per-row CAPTION EQUALITY (the BASELINE.json invariant),
+        # not just join cardinality
         return caption_landmark_join(imgs, spark.table("landmarks_v")).select(
-            "image_id", "landmark_id"
+            "image_id", "caption", "landmark_id"
         )
 
     q["caption_landmark_join"] = caption_join
@@ -1343,7 +1346,7 @@ JOIN polygons_v p
 """)
 
     o["caption_landmark_join"] = _oracle("""
-SELECT i.image_id, l.landmark_id
+SELECT i.image_id, i.caption, l.landmark_id
 FROM (SELECT * FROM images_v WHERE k % 53 = 0) i
 JOIN landmarks_v l ON l.landmark_id = i.caption_landmark_id
 """)
