@@ -368,21 +368,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def shave_distance_style(spark, sf_dir):
         # style-filter ["distance"] routed through FULL-geometry
-        # evaluation: per-feature MIN vertex distance (exact for the
-        # Point features this layer holds), computed in the same
-        # one-pass vertex aggregation as within verdicts and joined
-        # once — vs the row-level point form that needs lon/lat row
-        # columns the feature table doesn't have.
+        # evaluation: per-feature MIN geometry distance — vertex
+        # haversine AND point-to-segment interior distance (mbgl
+        # measures true geometry distance, segment interiors included)
+        # — computed in the same one-pass vertex aggregation as within
+        # verdicts and joined once. The road layer's LineStrings make
+        # the segment term load-bearing: a segment passing nearer than
+        # any of its endpoints must still satisfy ``distance < r``.
         register_views(spark, sf_dir)
+        pt = ["distance", {"type": "Point", "coordinates": [-122.0, 38.0]}]
         style = {
-            "layers": [{
-                "source-layer": "poi_label",
-                "filter": [
-                    "<",
-                    ["distance", {"type": "Point", "coordinates": [-122.0, 38.0]}],
-                    600000,
-                ],
-            }]
+            "layers": [
+                {"source-layer": "poi_label", "filter": ["<", pt, 600000]},
+                # 20 km: at sf0.01 several road LineStrings pass within
+                # 20 km ONLY through a segment interior (closest vertex
+                # beyond it), so this radius discriminates the exact
+                # formula from the old vertex-min upper bound
+                {"source-layer": "road", "filter": ["<", pt, 20000]},
+            ]
         }
         out = shave(
             features_with_props(spark),
@@ -1247,20 +1250,38 @@ WHERE f.layer = 'road'
 """)
 
     # shave() with a style filter ["<", ["distance", Point], r] routed
-    # through the full-geometry path: per-feature MIN vertex haversine
-    # (bit-identical formula on both engines via haversine_m_sql)
+    # through the full-geometry path: per-feature MIN over per-row
+    # min(vertex haversine, point-to-SEGMENT distance) — bit-identical
+    # formulas on both engines via haversine_m_sql /
+    # point_segment_distance_m_sql; the segment term is gated exactly
+    # like the Spark side (a next vertex exists on the same path).
     hav = geo.haversine_m_sql("lon", "lat", -122.0, 38.0)
+    segd = geo.point_segment_distance_m_sql(
+        "lon", "lat", "nlon", "nlat", -122.0, 38.0
+    )
     o["shave_distance_style"] = _oracle(f"""
-, dv AS (
-  SELECT feature_id, layer, MIN({hav}) AS dmin
-  FROM vertices_v GROUP BY 1, 2
+, sv AS (
+  SELECT feature_id, layer, lon, lat,
+         lead(lon) OVER w AS nlon,
+         lead(lat) OVER w AS nlat,
+         lead(path_idx) OVER w AS npath,
+         path_idx
+  FROM vertices_v
+  WINDOW w AS (PARTITION BY feature_id ORDER BY path_idx, vertex_idx)
+),
+dv AS (
+  SELECT feature_id, layer,
+         MIN(CASE WHEN nlon IS NOT NULL AND npath = path_idx
+                       AND {segd} < {hav}
+                  THEN {segd} ELSE {hav} END) AS dmin
+  FROM sv GROUP BY 1, 2
 )
 SELECT f.feature_id, f.layer, f.geom_type
 FROM features_v f
 JOIN dv ON dv.feature_id = f.feature_id AND dv.layer = f.layer
-WHERE f.layer = 'poi_label'
-  AND f.geom_type IN ('Point', 'LineString', 'Polygon')
-  AND dv.dmin < 600000
+WHERE f.geom_type IN ('Point', 'LineString', 'Polygon')
+  AND ((f.layer = 'poi_label' AND dv.dmin < 600000)
+       OR (f.layer = 'road' AND dv.dmin < 20000))
 """)
 
     tx5 = geo.tile_x_sql("lon", 5)

@@ -297,3 +297,91 @@ def test_style_filter_distance_routes_full_geometry(spark):
         vertex_df=verts,
     )
     assert {r["feature_id"] for r in kept.collect()} == {1, 3}
+
+
+def test_distance_segment_interior_exact(spark):
+    """mbgl measures TRUE geometry distance: a long straight segment
+    whose interior passes near the query point must match ``distance <
+    r`` even when every vertex is far (the r4 vertex-min upper bound
+    wrongly excluded it). Feature 1: (-5,1)->(5,1) passes ~111 km from
+    the origin at its midpoint while both vertices sit ~566 km out.
+    Feature 2 is the control at lat 4 (interior ~444 km) — still out
+    at r=200 km."""
+    from vtshaver_spark import Filters, style_to_filters
+    from vtshaver_spark.operators.shave import shave
+
+    feats = spark.createDataFrame(
+        [
+            (16, 0, 0, "road", 1, "LineString", {"k": "v"}),
+            (16, 0, 0, "road", 2, "LineString", {"k": "v"}),
+        ],
+        "z int, x bigint, y bigint, layer string, feature_id bigint, "
+        "geom_type string, props map<string,string>",
+    )
+    verts = spark.createDataFrame(
+        [
+            (16, 0, 0, "road", 1, "LineString", 0, 0, -5.0, 1.0),
+            (16, 0, 0, "road", 1, "LineString", 0, 1, 5.0, 1.0),
+            (16, 0, 0, "road", 2, "LineString", 0, 0, -5.0, 4.0),
+            (16, 0, 0, "road", 2, "LineString", 0, 1, 5.0, 4.0),
+        ],
+        "z int, x bigint, y bigint, layer string, feature_id bigint, "
+        "geom_type string, path_idx int, vertex_idx int, lon double, lat double",
+    )
+    style = {
+        "layers": [{
+            "source-layer": "road",
+            "filter": [
+                "<",
+                ["distance", {"type": "Point", "coordinates": [0.0, 0.0]}],
+                200000,
+            ],
+        }]
+    }
+    kept = shave(
+        feats, Filters(style_to_filters(style)), zoom=16, maxzoom=16,
+        vertex_df=verts,
+    )
+    assert {r["feature_id"] for r in kept.collect()} == {1}
+
+
+def test_point_segment_distance_sql_parity(spark):
+    """The Column form and the SQL parity form of the point-to-segment
+    distance produce BIT-EQUAL doubles (the oracle-hash contract) —
+    interior foot, clamped-to-vertex, and degenerate zero-length
+    segments included."""
+    import duckdb
+
+    from vtshaver_spark.functions.geo import (
+        point_segment_distance_m,
+        point_segment_distance_m_sql,
+    )
+
+    segs = [
+        (-5.0, 1.0, 5.0, 1.0),     # interior foot
+        (3.0, 4.0, 8.0, 9.0),      # clamps to t=0 vertex
+        (-8.0, -9.0, -3.0, -4.0),  # clamps to t=1 vertex
+        (2.5, 2.5, 2.5, 2.5),      # zero-length (len2 == 0 branch)
+        (-122.7, 37.1, -121.3, 38.9),
+    ]
+    plon, plat = -122.0, 38.0
+    df = spark.createDataFrame(segs, "x1 double, y1 double, x2 double, y2 double")
+    got = [
+        r["d"]
+        for r in df.select(
+            point_segment_distance_m(
+                F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2"), plon, plat
+            ).alias("d")
+        ).collect()
+    ]
+    sql = point_segment_distance_m_sql("x1", "y1", "x2", "y2", plon, plat)
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {sql} FROM (SELECT CAST({a!r} AS DOUBLE) AS x1, "
+            f"CAST({b!r} AS DOUBLE) AS y1, CAST({c!r} AS DOUBLE) AS x2, "
+            f"CAST({d!r} AS DOUBLE) AS y2)"
+        ).fetchone()[0]
+        for a, b, c, d in segs
+    ]
+    assert got == want  # bit-equal, not approx

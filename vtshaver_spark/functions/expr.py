@@ -63,8 +63,9 @@ class FilterContext:
     within_resolver: Optional[Callable[[dict], Column]] = None
     # full-geometry ["distance"] hook: called with (lon, lat) of the
     # literal Point; the returned Column is the per-feature MIN
-    # vertex distance in meters (exact for Point features, an upper
-    # bound for LineStrings) instead of the row-level point form
+    # geometry distance in meters (vertex haversine min'd with the
+    # point-to-segment interior distance — exact for Point AND
+    # LineString features) instead of the row-level point form
     distance_resolver: Optional[Callable[[float, float], Column]] = None
 
     def zoom_col(self) -> Column:

@@ -299,6 +299,72 @@ def segment_crosses_sql(
     return "(" + " OR ".join(terms) + ")"
 
 
+def point_segment_distance_m(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column,
+    plon: float, plat: float,
+) -> Column:
+    """Meters from the LITERAL point P=(plon, plat) to the closest
+    point of segment (lon1,lat1)->(lon2,lat2) — pure Column math.
+
+    GL ``["distance"]`` parity for LineString features (mbgl, which the
+    reference delegates to via /root/reference/src/filters.cpp:108-121,
+    measures true geometry distance including segment INTERIORS, not
+    just vertices). Method: project the segment into a local
+    equirectangular plane anchored at P (lon scaled by cos(plat)),
+    clamp the perpendicular foot to t in [0, 1], map the closest point
+    back to lon/lat, and return its haversine distance to P. At t=0/1
+    this degrades exactly to the vertex haversine; for interior t it is
+    the standard local-planar closest-point approximation (sub-meter vs
+    the geodesic cross-track at town-to-region segment lengths).
+
+    Operation order mirrors ``point_segment_distance_m_sql`` exactly so
+    both engines produce bit-equal doubles.
+    """
+    kx = math.cos(math.radians(plat))
+    ax = (lon1 - F.lit(plon)) * F.lit(kx)
+    ay = lat1 - F.lit(plat)
+    bx = (lon2 - F.lit(plon)) * F.lit(kx)
+    by = lat2 - F.lit(plat)
+    dx = bx - ax
+    dy = by - ay
+    len2 = dx * dx + dy * dy
+    t = F.when(
+        len2 > F.lit(0.0),
+        F.least(
+            F.greatest(-(ax * dx + ay * dy) / len2, F.lit(0.0)), F.lit(1.0)
+        ),
+    ).otherwise(F.lit(0.0))
+    clon = F.lit(plon) + (ax + t * dx) / F.lit(kx)
+    clat = F.lit(plat) + (ay + t * dy)
+    return haversine_m(clon, clat, F.lit(plon), F.lit(plat))
+
+
+def point_segment_distance_m_sql(
+    x1: str, y1: str, x2: str, y2: str, plon: float, plat: float
+) -> str:
+    """SQL parity form of ``point_segment_distance_m`` — literally the
+    same arithmetic with intermediates substituted textually (the
+    oracle pays expression duplication; parity is the point)."""
+    # CAST AS DOUBLE: DuckDB types bare numeric literals as DECIMAL,
+    # and kx's 17 significant digits overflow decimal multiplication
+    kx = f"CAST({math.cos(math.radians(plat))!r} AS DOUBLE)"
+    ax = f"(({x1} - {plon!r}) * {kx})"
+    ay = f"({y1} - {plat!r})"
+    bx = f"(({x2} - {plon!r}) * {kx})"
+    by = f"({y2} - {plat!r})"
+    dx = f"({bx} - {ax})"
+    dy = f"({by} - {ay})"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    t = (
+        f"(CASE WHEN {len2} > 0.0 THEN "
+        f"LEAST(GREATEST((-({ax} * {dx} + {ay} * {dy})) / {len2}, 0.0), 1.0) "
+        f"ELSE 0.0 END)"
+    )
+    clon = f"({plon!r} + ({ax} + {t} * {dx}) / {kx})"
+    clat = f"({plat!r} + ({ay} + {t} * {dy}))"
+    return haversine_m_sql(clon, clat, plon, plat)
+
+
 def haversine_m_sql(lon_expr: str, lat_expr: str, lon2: float, lat2: float) -> str:
     """SQL parity form of ``haversine_m`` against a literal point —
     identical operation order so both engines produce bit-equal

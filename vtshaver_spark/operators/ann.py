@@ -77,6 +77,19 @@ def cosine_topk(
     from pyspark.sql import types as T
 
     q_rows = sorted(queries.select(query_id, vec_col).collect(), key=lambda r: r[query_id])
+    if not q_rows:
+        # empty query set: the exact answer is the empty result; an
+        # unguarded fall-through would IndexError on q_unit.shape[1]
+        spark = vectors.sparkSession
+        empty = T.StructType(
+            [
+                T.StructField(query_id, T.LongType(), False),
+                T.StructField(vec_id, T.LongType(), False),
+                T.StructField("cos", T.DoubleType(), False),
+                T.StructField("rank", T.IntegerType(), False),
+            ]
+        )
+        return spark.createDataFrame([], empty)
     q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

@@ -142,7 +142,11 @@ def bloom_anti_join(
     columns present in both frames. ``expected_items`` sizes the
     filter without an extra count() action (defaults to ref.count()).
     """
-    n = expected_items if expected_items is not None else ref.count()
+    # expected_items is a SIZING HINT only: non-positive values (a
+    # plausible "unknown size" sentinel) must not disable dedup, so
+    # they fall back to counting the reference. Only an actually-empty
+    # reference short-circuits — that is exact anti-join semantics.
+    n = expected_items if expected_items is not None and expected_items > 0 else ref.count()
     if n == 0:
         return big
     num_bits, num_hashes = bloom_params(n, fpp)

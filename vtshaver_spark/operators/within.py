@@ -44,6 +44,7 @@ from pyspark.sql.window import Window
 from vtshaver_spark.functions.geo import (
     haversine_m,
     point_in_polygon_col,
+    point_segment_distance_m,
     segment_crosses_col,
 )
 
@@ -72,12 +73,15 @@ def feature_within_multi(
     ``out_cols`` names the verdict columns (default within_0..n-1).
 
     ``distance_points``: (lon, lat) literal points; each adds a
-    ``distance_cols[j]`` column = MIN haversine meters over the
-    feature's VERTICES (GL ``["distance"]`` full-geometry form). The
-    vertex-min is exact for Point/MultiPoint features and an upper
-    bound for LineStrings (a segment interior can pass closer than
-    its endpoints) — the conservative direction for "near" filters
-    (``distance < r`` never gains false positives).
+    ``distance_cols[j]`` column = MIN meters from the point to the
+    feature's full geometry (GL ``["distance"]`` form): per vertex row
+    the minimum of the vertex haversine and — when the row starts a
+    segment toward the next vertex of the same path — the
+    point-to-SEGMENT distance (closest interior point, mbgl parity per
+    /root/reference/src/filters.cpp:108-121), reduced by the same MIN
+    aggregate. Exact for Point/MultiPoint features and for LineString
+    interiors; segments ride the lead() window the crossing test
+    already pays for, so this adds zero shuffles.
     """
     keys = [k for k in keys if k in vertex_df.columns]
     if out_cols is None:
@@ -106,9 +110,15 @@ def feature_within_multi(
         ).withColumn(f"_cross_{i}", seg_cross)
 
     for j, (plon, plat) in enumerate(distance_points):
+        vd = haversine_m(lon_c, lat_c, F.lit(float(plon)), F.lit(float(plat)))
+        sd = F.when(
+            nlon.isNotNull() & same_path,
+            point_segment_distance_m(
+                lon_c, lat_c, nlon, nlat, float(plon), float(plat)
+            ),
+        )
         flags = flags.withColumn(
-            f"_d_{j}",
-            haversine_m(lon_c, lat_c, F.lit(float(plon)), F.lit(float(plat))),
+            f"_d_{j}", F.when(sd.isNotNull() & (sd < vd), sd).otherwise(vd)
         )
 
     agg = flags.groupBy(*keys, geom_type_col).agg(
