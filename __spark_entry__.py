@@ -672,7 +672,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF with a DISTRIBUTED query side: the query set (50 rows
         # here, a full table at scale) is probe-assigned by a map-only
         # Arrow kernel and equi-joined on the centroid id — no driver
-        # collect anywhere, both sides scale
+        # collect anywhere, both sides scale. Centroids are TRAINED
+        # (the r5 default: 2 deterministic k-means-lite passes, the
+        # quantizer you'd actually run at scale); the oracle replays
+        # the training loop itself in SQL — seed, argmax assignment,
+        # element-wise mean, renormalize, twice — before probing
         register_views(spark, sf_dir)
         emb = spark.table("embeddings")
         queries_df = emb.filter(F.col("vec_id") < 50).select(
@@ -2160,10 +2164,96 @@ FROM ranked WHERE rank <= 5
 """
 
     o["ann_ivf_top5"] = _ivf_oracle(5)
-    # the distributed-query-path variant runs the SAME pipeline
-    # semantics (only the Spark physical plan differs), so its oracle
-    # is the same replay with the bigger query split
-    o["ann_ivf_dist_top5"] = _ivf_oracle(50)
+
+    def _ivf_oracle_trained(cut: int, iters: int = 2, dim: int = 64) -> str:
+        # the distributed path defaults to TRAINED centroids, so its
+        # oracle replays the k-means-lite loop itself: seed = first 16
+        # corpus ids; per pass, argmax-cosine assignment (ties toward
+        # the smaller cid, matching np.argmax), element-wise mean of
+        # the members' RAW vectors, renormalize; empty clusters keep
+        # the previous centroid — then the same probe/score/rank replay
+        # as _ivf_oracle against the final centroids
+        sql = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id >= {cut}
+),
+cent0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cemb
+  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT 16)
+)"""
+        for t in range(iters):
+            sql += f""",
+assign{t} AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT c.vec_id, c.emb, ct.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {COS.format(a="c.emb", b="ct.cemb")} DESC, ct.cid ASC
+           ) AS rn
+    FROM corpus c CROSS JOIN cent{t} ct
+  ) s WHERE rn = 1
+),
+mean{t} AS (
+  SELECT a.cid, gs.i, SUM(a.emb[gs.i]) / COUNT(*) AS m
+  FROM assign{t} a
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {dim})) AS i) gs
+  GROUP BY a.cid, gs.i
+),
+newc{t} AS (
+  SELECT cid, LIST(m ORDER BY i) AS memb FROM mean{t} GROUP BY cid
+),
+cent{t + 1} AS (
+  SELECT p.cid,
+         CASE WHEN n.memb IS NULL
+                   OR SQRT(list_dot_product(n.memb, n.memb)) = 0
+              THEN p.cemb
+              ELSE list_transform(
+                n.memb,
+                x -> x / SQRT(list_dot_product(n.memb, n.memb)))
+         END AS cemb
+  FROM cent{t} p LEFT JOIN newc{t} n ON n.cid = p.cid
+)"""
+        sql += f""",
+assignf AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT c.vec_id, c.emb, ct.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY {COS.format(a="c.emb", b="ct.cemb")} DESC, ct.cid ASC
+           ) AS rn
+    FROM corpus c CROSS JOIN cent{iters} ct
+  ) s WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings WHERE vec_id < {cut}
+),
+qprobe AS (
+  SELECT query_id, emb AS qemb, cid FROM (
+    SELECT qq.query_id, qq.emb, ct.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY qq.query_id
+             ORDER BY {COS.format(a="qq.emb", b="ct.cemb")} DESC, ct.cid ASC
+           ) AS rn
+    FROM q qq CROSS JOIN cent{iters} ct
+  ) s WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, {COS.format(a="a.emb", b="p.qemb")} AS cos
+  FROM assignf a JOIN qprobe p ON a.cid = p.cid
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, ROUND(cos, 6) AS cos_r
+FROM ranked WHERE rank <= 5
+"""
+        return sql
+
+    o["ann_ivf_dist_top5"] = _ivf_oracle_trained(50)
 
     # SRP-LSH ANN oracle: replay the deterministic hyperplanes,
     # sign-packed buckets, multiprobe masks, and cosine re-rank in SQL.

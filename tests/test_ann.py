@@ -203,15 +203,56 @@ def test_ivf_distributed_matches_collected(spark):
         return {(r["query_id"], r["rank"], r["vec_id"], round(r["cos"], 9))
                 for r in rows}
 
+    from vtshaver_spark.operators.ann import train_centroids
+
+    cent = train_centroids(corpus, n_centroids=8, n_iters=2)
     coll = key(
-        ivf_cosine_topk(corpus, queries, k=5, n_centroids=8, n_probe=3).collect()
+        ivf_cosine_topk(
+            corpus, queries, k=5, n_centroids=8, n_probe=3, centroids=cent
+        ).collect()
     )
     dist = key(
         ivf_cosine_topk_distributed(
-            corpus, queries, k=5, n_centroids=8, n_probe=3
+            corpus, queries, k=5, n_centroids=8, n_probe=3, centroids=cent
         ).collect()
     )
     assert dist == coll and len(coll) == 40 * 5
+
+
+def test_ivf_distributed_trained_default_beats_seed(spark):
+    """The distributed path — the one you'd actually run at scale —
+    now DEFAULTS to trained centroids; its recall must beat the
+    explicit 'seed' quantizer on the same corpus/queries (the
+    collected-path recall pin, extended to the distributed path)."""
+    from vtshaver_spark.operators.ann import (
+        cosine_topk,
+        ivf_cosine_topk_distributed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 120)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    truth = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(res):
+        got = {}
+        for r in res.select("query_id", "vec_id").collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(qid, set()) & t) / len(t) for qid, t in truth.items()
+        ) / len(truth)
+
+    seed_recall = recall(
+        ivf_cosine_topk_distributed(emb, queries, k=5, n_probe=4, centroids="seed")
+    )
+    trained_recall = recall(
+        ivf_cosine_topk_distributed(emb, queries, k=5, n_probe=4)
+    )
+    assert trained_recall > seed_recall, (seed_recall, trained_recall)
 
 
 def test_ivf_distributed_three_shuffles_partial_limit(spark):

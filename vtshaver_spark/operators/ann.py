@@ -17,7 +17,7 @@ every pipeline replayable in the driver's SQL oracle.
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
+from typing import Optional, Union
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
@@ -617,12 +617,20 @@ def ivf_cosine_topk_distributed(
     vec_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
-    centroids: Optional[np.ndarray] = None,
+    centroids: Union[np.ndarray, str, None] = None,
+    train_iters: int = 2,
 ) -> DataFrame:
-    """IVF top-k with a DISTRIBUTED query side — same results as
-    ``ivf_cosine_topk`` (same centroids, probes, and tie rules), but
-    the query set is never collected to the driver, so BOTH sides
-    scale: corpus and queries can each be full-size tables.
+    """IVF top-k with a DISTRIBUTED query side — same semantics as
+    ``ivf_cosine_topk`` (same probes and tie rules), but the query set
+    is never collected to the driver, so BOTH sides scale: corpus and
+    queries can each be full-size tables.
+
+    ``centroids``: an ndarray plugs in any coarse quantizer; ``None``
+    (default) TRAINS one with ``train_centroids`` (``train_iters``
+    k-means-lite passes) — this is the path you'd actually run at
+    scale, and trained centroids carry a pinned recall win over the
+    first-n-by-id seed (tests/test_ann.py). Pass ``"seed"`` for the
+    untrained deterministic seed.
 
     Physical plan (the 100 TB shape):
       1. corpus → ``_assign_centroids`` (map-only Arrow argmax);
@@ -650,11 +658,17 @@ def ivf_cosine_topk_distributed(
 
     Output: query_id, rank, vec_id, cos (ties broken by vec_id).
     """
-    cent_norm = (
-        centroids
-        if centroids is not None
-        else _seed_centroids(vectors, n_centroids, vec_id, vec_col)
-    )
+    if centroids is None:
+        cent_norm = train_centroids(
+            vectors, n_centroids=n_centroids, n_iters=train_iters,
+            vec_id=vec_id, vec_col=vec_col,
+        )
+    elif isinstance(centroids, str):
+        if centroids != "seed":
+            raise ValueError(f"centroids must be an ndarray, None, or 'seed', got {centroids!r}")
+        cent_norm = _seed_centroids(vectors, n_centroids, vec_id, vec_col)
+    else:
+        cent_norm = centroids
     v = vectors.select(
         F.col(vec_id), F.col(vec_col).cast("array<double>").alias("_vv")
     )
