@@ -129,6 +129,52 @@ def test_s2_udf(spark):
     assert out["a"] == out["b"] != out["c"]
 
 
+def test_s2_column_matches_numpy(spark):
+    """The JVM Column-math S2 encode (the r5 scale path: no Arrow
+    transport) must be bit-for-bit the numpy kernel — cube-face
+    routing, quadratic st, truncating ij, unrolled Hilbert — across a
+    deterministic global sweep including face boundaries and poles,
+    at a mid level and at full level 30 (deepest unroll)."""
+    from vtshaver_spark.functions.s2 import with_s2_cell_col
+
+    lons = np.array(
+        [(-180.0 + (i * 360.0 * 0.6180339887) % 360.0) for i in range(400)]
+        + [0.0, 90.0, 180.0, -90.0, -180.0, 45.0, -45.0]
+    )
+    lats = np.array(
+        [(-85.0 + (i * 170.0 * 0.7548776662) % 170.0) for i in range(400)]
+        + [0.0, 89.9, -89.9, 37.77, -37.77, 85.0, -85.0]
+    )
+    df = spark.createDataFrame(
+        [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(lons, lats))],
+        "id long, lon double, lat double",
+    )
+    for level in (10, 30):
+        want = s2_cell_id_np(lons, lats, level=level)
+        got = {
+            r["id"]: r["cell_s2"]
+            for r in with_s2_cell_col(df, level=level).collect()
+        }
+        assert [got[i] for i in range(len(lons))] == want.tolist()
+
+
+def test_s2_column_plan_is_codegen(spark):
+    """Plan contract for the Column path: no Arrow/Python eval node
+    anywhere — the encode must live inside WholeStageCodegen."""
+    from vtshaver_spark.functions.s2 import with_s2_cell_col
+
+    df = spark.range(4).selectExpr(
+        "CAST(id AS DOUBLE) AS lon", "CAST(id AS DOUBLE) AS lat"
+    )
+    plan = (
+        with_s2_cell_col(df, level=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # '*(1)' prefixes = every Project lives in WholeStageCodegen span 1
+    assert "*(1) Project" in plan
+
+
 def test_grid_disk_tile():
     from vtshaver_spark.functions.geo import grid_disk_tile
 

@@ -128,6 +128,127 @@ def s2_parent_np(cell: np.ndarray, level: int, child_level: int = MAX_LEVEL) -> 
     return ((cell_u & ~(new_lsb - np.uint64(1))) | new_lsb).astype(np.int64)
 
 
+def with_s2_cell_col(
+    df, lon: str = "lon", lat: str = "lat", level: int = 12,
+    out: str = "cell_s2",
+):
+    """S2 cell-id encode as pure JVM Column math — zero Python, zero
+    Arrow transport; the whole encode stays inside one
+    WholeStageCodegen span next to the rest of the plan.
+
+    Bit-for-bit the same ids as ``s2_cell_id_np`` (parity pinned in
+    tests/test_geo.py on a deterministic global sweep): same cube-face
+    selection, quadratic (u,v)->(s,t), truncating ij quantization, and
+    the same per-face Hilbert curve — the xy2d loop is unrolled into
+    ``level`` materialized column steps. Intermediates are REAL
+    projected columns (not one nested expression): each Hilbert state
+    column is referenced several times by the next step, which is
+    exactly the case Catalyst's CollapseProject declines to inline, so
+    the plan stays a layered project chain that codegen fuses without
+    exponential expression blow-up. This is the scale path: the Arrow
+    variant pays a per-batch transport floor that cannot parallelize
+    in local mode (the r4 ``s2_cells`` 0.728 scaling leg); this one
+    scales like any other codegen map stage.
+    """
+    import math
+
+    # radians via explicit multiply (numpy's deg2rad is a constant
+    # multiply; JVM Math.toRadians divides first — different last-ulp)
+    d2r = math.pi / 180.0
+    phi = F.col(lat) * F.lit(d2r)
+    theta = F.col(lon) * F.lit(d2r)
+    df = (
+        df.withColumn("_s2x", F.cos(phi) * F.cos(theta))
+        .withColumn("_s2y", F.cos(phi) * F.sin(theta))
+        .withColumn("_s2z", F.sin(phi))
+    )
+    x, y, z = F.col("_s2x"), F.col("_s2y"), F.col("_s2z")
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face = (
+        F.when((ax >= ay) & (ax >= az), F.when(x >= 0, 0).otherwise(3))
+        .otherwise(
+            F.when(ay >= az, F.when(y >= 0, 1).otherwise(4))
+            .otherwise(F.when(z >= 0, 2).otherwise(5))
+        )
+    ).cast("long")
+    df = df.withColumn("_s2f", face)
+    f = F.col("_s2f")
+    u = (
+        F.when(f == 0, y / x)
+        .when(f == 1, -x / y)
+        .when(f == 2, -x / z)
+        .when(f == 3, z / x)
+        .when(f == 4, z / y)
+        .otherwise(-y / z)
+    )
+    v = (
+        F.when(f == 0, z / x)
+        .when(f == 1, z / y)
+        .when(f == 2, -y / z)
+        .when(f == 3, y / x)
+        .when(f == 4, -x / y)
+        .otherwise(-x / z)
+    )
+
+    def st(c):
+        return F.when(
+            c >= 0, F.lit(0.5) * F.sqrt(F.lit(1.0) + F.lit(3.0) * c)
+        ).otherwise(F.lit(1.0) - F.lit(0.5) * F.sqrt(F.lit(1.0) - F.lit(3.0) * c))
+
+    n = 1 << level
+
+    def ij(c):
+        return F.least(
+            F.greatest((c * F.lit(float(n))).cast("long"), F.lit(0).cast("long")),
+            F.lit(n - 1).cast("long"),
+        )
+
+    df = df.withColumn("_s2i", ij(st(u))).withColumn("_s2j", ij(st(v)))
+
+    # Hilbert xy2d, unrolled: one materialized (d, x, y) step per level
+    df = df.withColumn("_s2d", F.lit(0).cast("long"))
+    s = 1 << (level - 1)
+    while s > 0:
+        xx, yy = F.col("_s2i"), F.col("_s2j")
+        df = (
+            df.withColumn("_s2rx", (xx.bitwiseAND(F.lit(s)) > 0).cast("long"))
+            .withColumn("_s2ry", (yy.bitwiseAND(F.lit(s)) > 0).cast("long"))
+        )
+        rx, ry = F.col("_s2rx"), F.col("_s2ry")
+        df = df.withColumn(
+            "_s2d",
+            F.col("_s2d") + F.lit(s * s) * (rx * F.lit(3)).bitwiseXOR(ry),
+        )
+        flip = (ry == 0) & (rx == 1)
+        df = (
+            df.withColumn(
+                "_s2fx", F.when(flip, F.lit(s - 1) - xx).otherwise(xx)
+            ).withColumn(
+                "_s2fy", F.when(flip, F.lit(s - 1) - yy).otherwise(yy)
+            )
+        )
+        swap = ry == 0
+        df = (
+            df.withColumn(
+                "_s2i", F.when(swap, F.col("_s2fy")).otherwise(F.col("_s2fx"))
+            ).withColumn(
+                "_s2j", F.when(swap, F.col("_s2fx")).otherwise(F.col("_s2fy"))
+            )
+        )
+        s >>= 1
+
+    shift = 2 * (MAX_LEVEL - level) + 1
+    cell = (
+        F.shiftleft(F.col("_s2f"), 61)
+        .bitwiseOR(F.shiftleft(F.col("_s2d"), shift))
+        .bitwiseOR(F.lit(1 << (shift - 1)))
+    )
+    return df.withColumn(out, cell).drop(
+        "_s2x", "_s2y", "_s2z", "_s2f", "_s2i", "_s2j", "_s2d",
+        "_s2rx", "_s2ry", "_s2fx", "_s2fy",
+    )
+
+
 def s2_cell_udf(level: int = 12):
     @pandas_udf(T.LongType())
     def _cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -140,5 +261,16 @@ def s2_cell_udf(level: int = 12):
     return _cell
 
 
-def with_s2_cell(df, lon: str = "lon", lat: str = "lat", level: int = 12, out: str = "cell_s2"):
-    return df.withColumn(out, s2_cell_udf(level)(F.col(lon), F.col(lat)))
+def with_s2_cell(
+    df, lon: str = "lon", lat: str = "lat", level: int = 12,
+    out: str = "cell_s2", impl: str = "column",
+):
+    """Append the S2 cell-id column. ``impl="column"`` (default) is the
+    JVM codegen path; ``impl="arrow"`` keeps the numpy/Arrow kernel
+    (same ids — parity-pinned — useful as the reference and wherever a
+    batch kernel is already paying the transport cost anyway)."""
+    if impl == "column":
+        return with_s2_cell_col(df, lon=lon, lat=lat, level=level, out=out)
+    if impl == "arrow":
+        return df.withColumn(out, s2_cell_udf(level)(F.col(lon), F.col(lat)))
+    raise ValueError(f"impl must be 'column' or 'arrow', got {impl!r}")
