@@ -240,3 +240,47 @@ def test_stream_phash_dedup(spark, tmp_path):
         "img_00000001_a", "img_00000002_a", "img_00000003_a", "img_00000004_a",
     ]
     assert len({r["phash_key"] for r in rows}) == 4
+
+
+def test_sessionize_replay_matches_batch_minus_open(spark):
+    """sessionize_replay (the driver-board harness) must emit exactly
+    the batch sessionization minus each user's final open session —
+    on a corpus with multi-session users, a single-session user (never
+    emitted: still open), and events straddling shard boundaries."""
+    import datetime as dt
+
+    from vtshaver_spark.operators.sessions import session_rollup
+    from vtshaver_spark.streaming.stateful import sessionize_replay
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user, offsets in [
+        (1, [0, 5, 95, 100, 200]),   # sessions {0,5}, {95,100}, {200}
+        (2, [0, 10]),                # one open session -> nothing emitted
+        (3, [0, 40, 80, 300]),       # gap 30: four 1-event sessions
+    ]:
+        for m in offsets:
+            rows.append((eid, user, t0 + dt.timedelta(minutes=m), float(m)))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"], r["sum_value"])
+        for r in sessionize_replay(
+            spark, events, n_shards=3, gap_minutes=30
+        ).collect()
+    }
+    batch = session_rollup(events, gap_minutes=30).collect()
+    last_idx = {}
+    for r in batch:
+        last_idx[r["user_id"]] = max(
+            last_idx.get(r["user_id"], -1), r["session_idx"]
+        )
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"], float(r["sum_value"]))
+        for r in batch
+        if r["session_idx"] < last_idx[r["user_id"]]
+    }
+    assert got == want and len(want) == 5

@@ -46,7 +46,40 @@ def value_hash(rows, columns):
     return h.hexdigest()
 
 
+def assert_board(artifact_path: str) -> int:
+    """Fail when any registered queries() name is absent from a driver
+    CORRECTNESS artifact, or any present cell is non-green — the guard
+    against queries silently vanishing from the board (r4: the 51st
+    registered query was dropped without an err entry)."""
+    import json
+
+    with open(artifact_path) as fh:
+        board = json.load(fh)
+    names = list(entry_mod.queries())
+    missing = [n for n in names if n not in board]
+    red = [
+        n
+        for n, cell in board.items()
+        if not (cell.get("rows_match") and cell.get("schema_match")
+                and (cell.get("hash_match") or "hash_match" not in cell))
+    ]
+    extra = [n for n in board if n not in names]
+    print(f"registered={len(names)} on_board={len(board)}")
+    if missing:
+        print("MISSING from board:", missing)
+    if red:
+        print("RED cells:", red)
+    if extra:
+        print("board-only (renamed/removed queries):", extra)
+    if not missing and not red:
+        print("board OK: every registered query present and green")
+        return 0
+    return 1
+
+
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--assert-board":
+        return assert_board(sys.argv[2])
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])  # optional query-name filter
     spark = build_session(app_name="oracle-check", master="local[8]", shuffle_partitions=8)

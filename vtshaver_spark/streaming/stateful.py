@@ -209,6 +209,94 @@ def stream_sessionize(
     )
 
 
+def sessionize_replay(
+    spark,
+    events: DataFrame,
+    n_shards: int = 3,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Deterministic micro-batch REPLAY of ``stream_sessionize`` over a
+    batch events table — the harness that puts the stateful operator
+    under the same batch-SQL oracle gate as everything else.
+
+    The events are split into ``n_shards`` CONTIGUOUS event-time
+    ranges (ntile over (ts, order_col) — a global window, fine at
+    replay/test scale; this is a verification vehicle, not a scale
+    operator), written as one parquet file per shard with strictly
+    ascending mtimes (the file source orders micro-batches by mtime),
+    then drained with ``maxFilesPerTrigger=1`` + ``availableNow`` into
+    a memory sink. Because shards are contiguous in event time, every
+    user's events arrive in order, so the emitted CLOSED sessions are
+    exactly the batch sessionization minus each user's final (still
+    open, ``timeout="none"``) session — a set a SQL oracle states
+    directly (QUALIFY session_idx < MAX(session_idx) OVER user).
+
+    Returns the closed-session DataFrame (memory-sink table: the rows
+    are already materialized; the temp shard dir is deleted).
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tmp = tempfile.mkdtemp(prefix="vtshaver_replay_")
+    name = "sess_replay_" + uuid.uuid4().hex[:8]
+    try:
+        shard = F.ntile(n_shards).over(Window.orderBy(ts_col, order_col))
+        ev = events.select(user_col, ts_col, value_col, order_col).withColumn(
+            "_shard", shard
+        )
+        for i in range(1, n_shards + 1):
+            path = os.path.join(tmp, f"f{i}")
+            (
+                ev.filter(F.col("_shard") == i)
+                .drop("_shard", order_col)
+                .repartition(1)
+                .write.parquet(path)
+            )
+            # strictly ascending mtimes pin micro-batch replay order
+            t = time.time() - 3600 + i * 60
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (t, t))
+        stream = (
+            spark.readStream.schema(
+                f"{user_col} long, {ts_col} timestamp, {value_col} double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(tmp, "f*"))
+        )
+        q = (
+            stream_sessionize(
+                stream, user_col=user_col, ts_col=ts_col,
+                value_col=value_col, gap_minutes=gap_minutes,
+                timeout="none",
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        finished = q.awaitTermination(timeout=300)
+        if not finished or q.exception() is not None:
+            raise RuntimeError(
+                f"sessionize replay did not drain: {q.exception()}"
+            )
+        return spark.table(name)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def stream_phash_dedup(
     stream_df: DataFrame,
     id_col: str = "image_id",
