@@ -459,6 +459,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pip_rect"] = pip
 
+    def pip_poly(spark, sf_dir):
+        # GENERAL-polygon PIP with the pip_rect physical shape (packed
+        # single-long cell key -> BroadcastHashJoin, closed-bbox
+        # residual, exact even-odd Arrow verify) — the polygon side is
+        # a DataFrame end-to-end, no driver list. Polygons are CONCAVE
+        # chevron quads derived from nation keys by integer
+        # closed-forms, so the oracle replays each polygon as an
+        # unrolled literal ray-cast with the same operation order; the
+        # notch makes bbox-hit-but-outside a live case.
+        from vtshaver_spark.operators.pip import pip_cell_join
+
+        register_views(spark, sf_dir)
+        key = F.col("n_nationkey").cast("long")
+        cx = F.lit(-170.0) + (key * 7919 % 3200).cast("double") / 10.0
+        cy = F.lit(-75.0) + (key * 4271 % 1300).cast("double") / 10.0
+        w = F.lit(6.0) + (key * 131 % 70).cast("double") / 10.0
+        h = F.lit(8.0) + (key * 173 % 90).cast("double") / 10.0
+        ring = F.array(
+            F.array(cx, cy),
+            F.array(cx + w, cy + h),
+            F.array(cx + F.lit(2.0) * w, cy),
+            F.array(cx + w, cy + F.lit(0.4) * h),
+            F.array(cx, cy),
+        )
+        polys = spark.table("nation").select(
+            (key + 1).alias("polygon_id"), F.array(ring).alias("rings")
+        )
+        pts = spark.table("images_v").filter(F.col("k") % 7 == 0)
+        out = pip_cell_join(pts, polys, cell_zoom=4)
+        return out.select("image_id", "polygon_id")
+
+    q["pip_poly"] = pip_poly
+
     def caption_join(spark, sf_dir):
         register_views(spark, sf_dir)
         imgs = spark.table("images_v").filter(F.col("k") % 53 == 0)
@@ -1388,6 +1421,34 @@ FROM (SELECT * FROM images_v WHERE k % 23 = 0) i
 JOIN polygons_v p
   ON i.lon >= p.lon_min AND i.lon < p.lon_max
  AND i.lat >= p.lat_min AND i.lat < p.lat_max
+""")
+
+    # pip_poly oracle: the 25 chevrons are integer closed-forms of the
+    # nation key (computed HERE by the same Python arithmetic the Spark
+    # query expresses as Column math — identical doubles), each
+    # replayed as an unrolled literal even-odd ray-cast with the same
+    # operation order as the verify kernel (_ray_cast_parity).
+    def _chevron(k: int) -> dict:
+        cx = -170.0 + (k * 7919 % 3200) / 10.0
+        cy = -75.0 + (k * 4271 % 1300) / 10.0
+        w = 6.0 + (k * 131 % 70) / 10.0
+        h = 8.0 + (k * 173 % 90) / 10.0
+        return {
+            "type": "Polygon",
+            "coordinates": [[
+                [cx, cy], [cx + w, cy + h], [cx + 2.0 * w, cy],
+                [cx + w, cy + 0.4 * h], [cx, cy],
+            ]],
+        }
+
+    pip_branches = "\nUNION ALL\n".join(
+        f"SELECT image_id, CAST({k + 1} AS BIGINT) AS polygon_id FROM pts WHERE "
+        + geo.point_in_polygon_sql(_chevron(k), lon="lon", lat="lat")
+        for k in range(25)
+    )
+    o["pip_poly"] = _oracle(f"""
+, pts AS (SELECT image_id, lon, lat FROM images_v WHERE k % 7 = 0)
+{pip_branches}
 """)
 
     o["caption_landmark_join"] = _oracle("""

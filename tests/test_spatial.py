@@ -211,3 +211,91 @@ def test_caption_landmark_join(spark, landmarks):
     )
     out = caption_landmark_join(imgs, landmarks).select("image_id", "landmark_id").collect()
     assert {(r["image_id"], r["landmark_id"]) for r in out} == {("i1", 7), ("i2", 17)}
+
+
+def _chevrons_df(spark, n=10):
+    """Concave chevron quads as a (polygon_id, rings) DataFrame plus
+    the equivalent driver-side list for cross-checking."""
+    rows, listing = [], []
+    for k in range(n):
+        cx = -170.0 + (k * 7919 % 3200) / 10.0
+        cy = -75.0 + (k * 4271 % 1300) / 10.0
+        w = 6.0 + (k * 131 % 70) / 10.0
+        h = 8.0 + (k * 173 % 90) / 10.0
+        ring = [
+            [cx, cy], [cx + w, cy + h], [cx + 2.0 * w, cy],
+            [cx + w, cy + 0.4 * h], [cx, cy],
+        ]
+        rows.append((k + 1, [ring]))
+        listing.append((k + 1, ring))
+    df = spark.createDataFrame(
+        rows, "polygon_id long, rings array<array<array<double>>>"
+    )
+    return df, listing
+
+
+def test_pip_cell_join_matches_generic(spark, points):
+    """The cell-keyed BHJ general-polygon path (DataFrame polygon side)
+    must agree with the driver-list ray-cast kernel on concave
+    polygons."""
+    from vtshaver_spark.operators.pip import pip_cell_join
+
+    polys, listing = _chevrons_df(spark, n=10)
+    fast = {
+        (r["image_id"], r["polygon_id"])
+        for r in pip_cell_join(points, polys, cell_zoom=4)
+        .select("image_id", "polygon_id").collect()
+    }
+    generic = {
+        (r["image_id"], r["polygon_id"])
+        for r in pip_polygon_join(points, listing).collect()
+    }
+    assert fast == generic and len(fast) > 0
+
+
+def test_pip_cell_join_concavity_and_holes(spark):
+    """bbox-hit-but-outside (the chevron notch) must be rejected by
+    the exact verify, and a hole ring must exclude interior points
+    (even-odd across rings)."""
+    from vtshaver_spark.operators.pip import pip_cell_join
+
+    donut = [
+        [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]],
+        [[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]],
+    ]
+    chev = [[[20.0, 0.0], [26.0, 10.0], [32.0, 0.0], [26.0, 4.0], [20.0, 0.0]]]
+    polys = spark.createDataFrame(
+        [(1, donut), (2, chev)],
+        "polygon_id long, rings array<array<array<double>>>",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("in_fill", 2.0, 2.0),        # donut fill
+            ("in_hole", 5.0, 5.0),        # inside the hole -> excluded
+            ("chev_wing", 22.5, 3.0),     # inside chevron left wing
+            ("chev_notch", 26.0, 1.0),    # in bbox, under the notch -> out
+            ("outside", 50.0, 50.0),
+        ],
+        "image_id string, lon double, lat double",
+    )
+    got = {
+        (r["image_id"], r["polygon_id"])
+        for r in pip_cell_join(pts, polys, cell_zoom=4)
+        .select("image_id", "polygon_id").collect()
+    }
+    assert got == {("in_fill", 1), ("chev_wing", 2)}
+
+
+def test_pip_cell_join_plan_is_hash_join(spark, points):
+    """Plan contract: BroadcastHashJoin on the packed single-long cell
+    key (LongHashedRelation fast path), never a nested-loop join; the
+    point side is map-only up to the join."""
+    from vtshaver_spark.operators.pip import pip_cell_join
+
+    polys, _ = _chevrons_df(spark, n=6)
+    plan = (
+        pip_cell_join(points, polys, cell_zoom=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan

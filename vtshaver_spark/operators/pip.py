@@ -105,6 +105,149 @@ def pip_rect_join(
     )
 
 
+def _ray_cast_parity(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Even-odd ray cast in EXACTLY the operation order of
+    ``functions.geo.point_in_polygon_sql`` / ``point_in_polygon_col``
+    (slope precomputed, horizontal edges skipped, strict ``<``) so a
+    SQL oracle replaying the polygon as literals produces bit-equal
+    verdicts. ring: (m, 2) closed coordinate array."""
+    inside = np.zeros(px.shape[0], dtype=bool)
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    for j in range(x0.shape[0]):
+        ax, ay, bx, by = x0[j], y0[j], x1[j], y1[j]
+        if ay == by:
+            continue
+        slope = (bx - ax) / (by - ay)
+        inside ^= ((ay > py) != (by > py)) & (px < (py - ay) * slope + ax)
+    return inside
+
+
+def pip_cell_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id: str = "image_id",
+    poly_id: str = "polygon_id",
+    rings_col: str = "rings",
+    cell_zoom: int = 5,
+) -> DataFrame:
+    """General-polygon PIP with the SAME physical shape as
+    ``pip_rect_join`` — the r5 generalization that removes the
+    driver-side list contract of ``pip_polygon_join``: the polygon side
+    stays a DataFrame end-to-end, so it can be any dimension-sized
+    table (admin boundaries, style extents) without a guarded collect.
+
+    ``polygons``: (poly_id, rings) where rings is
+    ``array<array<array<double>>>`` — closed [[lon,lat],...] rings,
+    ring 0 the exterior, the rest holes (even-odd).
+
+    Physical plan (the 100 TB shape):
+      1. polygon side (small): vertex double-explode -> per-polygon
+         bbox agg -> covering-cell explode at ``cell_zoom`` -> packed
+         single-long cell key (cx*2^30+cy: LongHashedRelation fast
+         path, the pip_rect lesson) — a few tiny shuffles on the
+         dimension side only;
+      2. point side: map-only packed-cell compute, BroadcastHashJoin
+         on the cell key with the closed bbox range residual — the big
+         side is never shuffled and meets only polygons sharing its
+         cell (a point matches a polygon in exactly ONE cell, its own:
+         no dedup step);
+      3. exact even-odd verify on the surviving candidates in a
+         vectorized Arrow kernel (``_ray_cast_parity`` — the same
+         operation order as the SQL/Column literal forms, so oracles
+         replay it bit-identically). Candidate volume after bbox
+         pruning is O(points in polygon bboxes), the same residual
+         work ``pip_rect_join`` does in its range filter.
+    """
+    from vtshaver_spark.functions.geo import tile_x, tile_y
+
+    def packed(cx, cy):
+        return cx * F.lit(1 << 30) + cy
+
+    verts = (
+        polygons.select(poly_id, rings_col)
+        .select(poly_id, F.explode(rings_col).alias("_r"))
+        .select(poly_id, F.explode("_r").alias("_v"))
+        .select(
+            poly_id,
+            F.col("_v")[0].alias("_vx"),
+            F.col("_v")[1].alias("_vy"),
+        )
+    )
+    bbox = verts.groupBy(poly_id).agg(
+        F.min("_vx").alias("lon_min"),
+        F.min("_vy").alias("lat_min"),
+        F.max("_vx").alias("lon_max"),
+        F.max("_vy").alias("lat_max"),
+    )
+    cover = (
+        polygons.select(poly_id, rings_col)
+        .join(bbox, poly_id)
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    tile_x("lon_min", cell_zoom), tile_x("lon_max", cell_zoom)
+                )
+            ).alias("_cx"),
+        )
+        .select(
+            "*",
+            F.explode(
+                F.sequence(
+                    tile_y("lat_max", cell_zoom), tile_y("lat_min", cell_zoom)
+                )
+            ).alias("_cy"),
+        )
+        .withColumn("_ck", packed(F.col("_cx"), F.col("_cy")))
+        .drop("_cx", "_cy")
+    )
+    r = F.broadcast(cover)
+    p = points.withColumn(
+        "_ck", packed(tile_x("lon", cell_zoom), tile_y("lat", cell_zoom))
+    )
+    cond = (
+        (p["_ck"] == r["_ck"])
+        # closed bbox: never excludes a boundary point the exact
+        # ray-cast would admit
+        & (p["lon"] >= r["lon_min"])
+        & (p["lon"] <= r["lon_max"])
+        & (p["lat"] >= r["lat_min"])
+        & (p["lat"] <= r["lat_max"])
+    )
+    cand = (
+        p.join(r, cond)
+        .drop(r["_ck"])
+        .drop("lon_min", "lat_min", "lon_max", "lat_max", "_ck")
+    )
+
+    out_fields = [f for f in cand.schema.fields if f.name != rings_col]
+    out_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            for _pid, grp in pdf.groupby(poly_id, sort=False):
+                rings = [
+                    np.array([list(v) for v in ring], dtype=np.float64)
+                    for ring in grp[rings_col].iloc[0]
+                ]
+                px = grp["lon"].to_numpy(dtype=np.float64)
+                py = grp["lat"].to_numpy(dtype=np.float64)
+                inside = np.zeros(px.shape[0], dtype=bool)
+                for ring in rings:  # even-odd XOR across all rings
+                    inside ^= _ray_cast_parity(px, py, ring)
+                if inside.any():
+                    outs.append(grp.iloc[inside][out_cols])
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return cand.mapInPandas(kernel, schema=out_schema)
+
+
 def _ray_cast(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Vectorized even-odd rule: for each point, count edge crossings of
     a horizontal ray. ring: (m,2) closed coordinate array."""
