@@ -257,6 +257,58 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
         )
         timed("ann_cosine", lambda: cosine_topk(embeddings, q, k=10).count())
 
+    # Curation group (r5): the LLM-pipeline operators get their own
+    # timed group so regressions are visible round-over-round. Reported
+    # SEPARATELY from the headline total ("curation" in the JSON) to
+    # keep the 9-query headline comparable with every prior round's
+    # artifact. Runs over the same realistically-duplicated documents
+    # corpus the LSH query uses; fast (xxhash) hash mode — the portable
+    # md5 mode exists for oracle replay, not throughput.
+    cur_timings: dict = {}
+    cur_counts: dict = {}
+    if subset in ("all", "curation"):
+        from vtshaver_spark.operators.bloom import bloom_anti_join
+        from vtshaver_spark.operators.contamination import contamination_report
+        from vtshaver_spark.operators.dedup import winnow_fingerprints
+        from vtshaver_spark.operators.packing import pack_token_sequences
+
+        def ctimed(name, fn):
+            t0 = time.perf_counter()
+            cur_counts[name] = fn()
+            cur_timings[name] = round(time.perf_counter() - t0, 3)
+
+        split = F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(20))
+        ctimed(
+            "packing",
+            lambda: pack_token_sequences(documents, seq_len=512).count(),
+        )
+        ctimed(
+            "bloom_dedup",
+            lambda: bloom_anti_join(
+                documents.filter(split != 0),
+                documents.filter(split == 0),
+                lambda: F.md5(F.col("text")),
+                fpp=0.05,
+            ).count(),
+        )
+        ctimed(
+            "contamination",
+            lambda: contamination_report(
+                train=documents.filter(split != 0),
+                eval_df=documents.filter(split == 0),
+                shingle_n=3,
+                threshold=0.1,
+            ).count(),
+        )
+        ctimed(
+            "winnow",
+            lambda: winnow_fingerprints(
+                documents.filter(F.col("doc_id") % 7 == 0),
+                shingle_n=3,
+                window=4,
+            ).count(),
+        )
+
     mvt_tiles = 0
     if subset in ("all", "mvt"):
         # End-to-end MVT tile pipeline: decode (protobuf) -> shave ->
@@ -311,6 +363,9 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
     if mvt_tiles:
         out["mvt_tiles"] = mvt_tiles
         out["mvt_tiles_per_sec"] = round(mvt_tiles / timings["mvt_shave"], 1)
+    if cur_timings:
+        out["curation_timings"] = cur_timings
+        out["curation_counts"] = cur_counts
     if subset == "all":
         shaved_and_joined = counts["shave"] + counts["knn"] + counts["pip"]
         out["shaved_joined_rows_per_sec"] = round(
@@ -356,6 +411,11 @@ def one_run(
             k: min(r["timings"][k] for r in results) for k in best["timings"]
         }
         best["total_sec"] = round(sum(best["timings"].values()), 3)
+        if "curation_timings" in best:
+            best["curation_timings"] = {
+                k: min(r["curation_timings"][k] for r in results)
+                for k in best["curation_timings"]
+            }
         # make the measurement discipline visible in the artifact: the
         # per-query numbers are minima over `passes` timed rounds (plus
         # one untimed warmup), per CLAUDE.md's noise rules — a consumer
@@ -511,6 +571,14 @@ def main():
     if "mvt_tiles_per_sec" in result:
         out["mvt_tiles"] = result["mvt_tiles"]
         out["mvt_tiles_per_sec"] = result["mvt_tiles_per_sec"]
+    if "curation_timings" in result:
+        # separate group: NOT folded into "value" so the 9-query
+        # headline stays comparable with prior rounds' artifacts
+        out["curation"] = {
+            "total_sec": round(sum(result["curation_timings"].values()), 3),
+            "queries": result["curation_timings"],
+            "counts": result["curation_counts"],
+        }
     print(json.dumps(out))
 
 

@@ -229,3 +229,51 @@ def test_compact_rewrites_fragmented_buckets(spark, tmp_path):
     # old snapshot still readable until vacuum; nothing left -> no-op
     assert _rows(t.read(version=1)) == before
     assert t.compact() == v
+
+
+def test_with_retry_loser_replans_and_succeeds(spark, table, tmp_path):
+    """with_retry around MERGE: a competing writer lands a commit
+    between this writer's plan and publish (injected just before the
+    first publish); attempt 0 loses with ConcurrentCommitError,
+    attempt 1 re-plans from the NEW snapshot and succeeds, and the
+    final table carries BOTH writers' rows."""
+    from vtshaver_spark.plans.table import with_retry
+
+    other = SnapshotTable(
+        spark, table.path, key_col="k", n_buckets=table.n_buckets
+    )
+    other_src = spark.createDataFrame([(100, "other")], "k long, val string")
+    my_src = spark.createDataFrame([(3, "mine"), (200, "mine")], "k long, val string")
+
+    orig_publish = table._publish
+    state = {"raced": False}
+
+    def racy_publish(buckets, base_version=None):
+        if not state["raced"]:
+            state["raced"] = True
+            other.merge_into(other_src)  # the competitor wins the CAS
+        return orig_publish(buckets, base_version)
+
+    table._publish = racy_publish
+    attempts = []
+
+    def commit(attempt):
+        attempts.append(attempt)
+        return table.merge_into(my_src)
+
+    version = with_retry(commit)
+    assert attempts == [0, 1]        # lost once, re-planned, won
+    assert version == table.current_version() == 3  # create + other + mine
+    got = _rows(table.read())
+    assert (100, "other") in got and (200, "mine") in got and (3, "mine") in got
+    assert (3, "v3") not in got
+
+
+def test_with_retry_gives_up_after_max_attempts(spark, table):
+    from vtshaver_spark.plans.table import with_retry
+
+    def always_lose(attempt):
+        raise ConcurrentCommitError("stale")
+
+    with pytest.raises(ConcurrentCommitError):
+        with_retry(always_lose, max_attempts=3)

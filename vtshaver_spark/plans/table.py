@@ -48,6 +48,30 @@ class ConcurrentCommitError(RuntimeError):
     new current snapshot."""
 
 
+def with_retry(commit_fn, max_attempts: int = 5):
+    """Run an optimistic-commit closure until it publishes — the
+    retry-from-new-snapshot loop every Iceberg writer needs, so callers
+    don't hand-roll it around ``ConcurrentCommitError``.
+
+    ``commit_fn(attempt)`` must RE-PLAN from the table's current
+    snapshot on every call (read fresh state, then perform exactly one
+    commit — ``merge_into`` / ``overwrite_by_filter`` / ``compact`` all
+    re-read internally, so simply re-invoking them is a correct
+    re-plan). A losing attempt's staged data is orphaned, never
+    referenced (``vacuum`` reclaims it). Any exception other than
+    ``ConcurrentCommitError`` propagates immediately; after
+    ``max_attempts`` losses the last ``ConcurrentCommitError`` is
+    re-raised.
+    """
+    last: Optional[ConcurrentCommitError] = None
+    for attempt in range(max_attempts):
+        try:
+            return commit_fn(attempt)
+        except ConcurrentCommitError as ex:
+            last = ex
+    raise last
+
+
 class SnapshotTable:
     """Keyed, bucketed, snapshot-versioned parquet table supporting
     ``merge_into`` (upsert), ``overwrite_by_filter`` (delete-where +
