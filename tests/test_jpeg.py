@@ -230,3 +230,58 @@ def test_resize_images_default_quality_meets_gate(spark):
     for r in out.collect():
         p = psnr(pixels[r["image_id"]], jpeg_decode(bytes(r["bytes2"])))
         assert p >= 40.0, (r["image_id"], p)
+
+
+def test_roundtrip_422_and_restart():
+    """4:2:2 encode (r5): horizontal-only chroma subsampling round-
+    trips through our own 4:2:2-capable decoder at high fidelity, with
+    and without restart intervals; non-multiple-of-16 width exercises
+    the 16x8 MCU padding."""
+    arr = _smooth(50, 42)
+    for ri in (0, 3):
+        b = jpeg_encode(arr, 95, "422", restart_interval=ri)
+        out = jpeg_decode(b)
+        assert out.shape == arr.shape
+        assert psnr(arr, out) > 33.0
+    b = jpeg_encode(arr, 95, "422", restart_interval=3)
+    import re
+
+    assert re.search(b"\xff[\xd0-\xd7]", b)
+    assert 0xDD in _markers(b)
+    # SOF0 declares 2x1 luma sampling
+    sof = b[b.index(b"\xff\xc0") + 4:]
+    assert sof[6] == 1 and sof[7] == 0x21  # component 1, h=2 v=1
+
+
+def test_422_beats_420_chroma_fidelity():
+    """4:2:2 keeps vertical chroma resolution: on an image with
+    horizontal chroma stripes it must beat 4:2:0 and trail 4:4:4."""
+    h, w = 48, 48
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    arr[..., 0] = 128
+    arr[::2, :, 1] = 240  # alternating-row green stripes (chroma detail)
+    arr[1::2, :, 2] = 240
+    scores = {
+        s: psnr(arr, jpeg_decode(jpeg_encode(arr, 95, s)))
+        for s in ("444", "422", "420")
+    }
+    assert scores["444"] >= scores["422"] > scores["420"]
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="PIL not installed")
+def test_pil_cross_decodes_422_and_dri():
+    """Wire-level interop for the r5 encoder breadth: libjpeg (PIL)
+    must decode our 4:2:2 bytes AND our DRI/RSTn stream to nearly the
+    pixels our decoder produces."""
+    import io
+
+    from PIL import Image
+
+    arr = _smooth(52, 36)
+    for kwargs in ({"subsampling": "422"},
+                   {"subsampling": "420", "restart_interval": 2},
+                   {"subsampling": "422", "restart_interval": 3}):
+        b = jpeg_encode(arr, 95, **kwargs)
+        theirs = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+        assert psnr(theirs, jpeg_decode(b)) > 35.0, kwargs
+        assert psnr(arr, theirs) > 33.0, kwargs

@@ -313,27 +313,33 @@ def jpeg_encode(
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex K tables at
     the libjpeg quality scaling). ``subsampling``: '444' (one block
-    per component per MCU) or '420' (2x2 luma + mean-subsampled
-    chroma — the common camera profile). ``restart_interval`` > 0
-    emits DRI + RSTn markers every that many MCUs (resync points a
-    parallel decoder can split on). Deterministic."""
+    per component per MCU), '420' (2x2 luma + mean-subsampled chroma —
+    the common camera profile), or '422' (2x1 luma, horizontal-only
+    chroma subsampling — the broadcast/video-frame profile; r5,
+    matching the decoder's existing 4:2:2 support).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (resync points a parallel decoder can split on).
+    Deterministic."""
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
-    if subsampling not in ("444", "420"):
+    samp = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
+    if subsampling not in samp:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
-    sub = subsampling == "420"
-    hv, mcu_px = (2, 16) if sub else (1, 8)
+    hs, vs = samp[subsampling]
+    mcu_w, mcu_h = 8 * hs, 8 * vs
     qy = _quality_scale(QUANT_LUMA, quality)
     qc = _quality_scale(QUANT_CHROMA, quality)
 
     ycc = _rgb_to_ycbcr(arr)
-    ph = (h + mcu_px - 1) // mcu_px * mcu_px
-    pw = (w + mcu_px - 1) // mcu_px * mcu_px
+    ph = (h + mcu_h - 1) // mcu_h * mcu_h
+    pw = (w + mcu_w - 1) // mcu_w * mcu_w
     padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
-    if sub:
-        chroma = padded[:, :, 1:].reshape(ph // 2, 2, pw // 2, 2, 2).mean(axis=(1, 3))
-    else:
-        chroma = padded[:, :, 1:]
+    # hs x vs box-mean chroma (identity at 1x1 — mean over singletons)
+    chroma = (
+        padded[:, :, 1:]
+        .reshape(ph // vs, vs, pw // hs, hs, 2)
+        .mean(axis=(1, 3))
+    )
     comp_q = [
         _quantize_component(padded[..., 0], qy),
         _quantize_component(chroma[..., 0], qc),
@@ -348,7 +354,7 @@ def jpeg_encode(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc0" + struct.pack(">H", 17) + bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
-    y_hv = (hv << 4) | hv
+    y_hv = (hs << 4) | vs
     for cid, chv, tq in ((1, y_hv, 0), (2, 0x11, 1), (3, 0x11, 1)):
         out += bytes([cid, chv, tq])
     for tc_th, bits, vals in (
@@ -372,7 +378,7 @@ def jpeg_encode(
 
     writer = _BitWriter()
     preds = [0, 0, 0]
-    mcux, mcuy = pw // mcu_px, ph // mcu_px
+    mcux, mcuy = pw // mcu_w, ph // mcu_h
     rst = 0
     for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
@@ -383,10 +389,10 @@ def jpeg_encode(
             writer = _BitWriter()
             preds = [0, 0, 0]
         my, mx = divmod(m, mcux)
-        for by in range(hv):
-            for bx in range(hv):
+        for by in range(vs):
+            for bx in range(hs):
                 preds[0] = _encode_one_block(
-                    writer, comp_q[0][my * hv + by, mx * hv + bx],
+                    writer, comp_q[0][my * vs + by, mx * hs + bx],
                     preds[0], *tables[0],
                 )
         for ci in (1, 2):
