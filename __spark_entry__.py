@@ -1323,9 +1323,18 @@ WHERE f.layer = 'road'
     segd = geo.point_segment_distance_m_sql(
         "lon", "lat", "nlon", "nlat", -122.0, 38.0
     )
+    # the crossing count mirrors within.feature_within_multi's Column
+    # form: division nested under the non-horizontal gate (a CASE
+    # branch on both engines), even-odd across all paths
+    cross = (
+        "CASE WHEN nlon IS NOT NULL AND npath = path_idx AND lat <> nlat"
+        " AND ((lat > 38.0) <> (nlat > 38.0))"
+        " THEN CASE WHEN -122.0 < (38.0 - lat) * ((nlon - lon) / (nlat - lat)) + lon"
+        " THEN 1 ELSE 0 END ELSE 0 END"
+    )
     o["shave_distance_style"] = _oracle(f"""
 , sv AS (
-  SELECT feature_id, layer, lon, lat,
+  SELECT feature_id, layer, geom_type, lon, lat,
          lead(lon) OVER w AS nlon,
          lead(lat) OVER w AS nlat,
          lead(path_idx) OVER w AS npath,
@@ -1334,18 +1343,25 @@ WHERE f.layer = 'road'
   WINDOW w AS (PARTITION BY feature_id ORDER BY path_idx, vertex_idx)
 ),
 dv AS (
-  SELECT feature_id, layer,
+  SELECT feature_id, layer, geom_type,
          MIN(CASE WHEN nlon IS NOT NULL AND npath = path_idx
                        AND {segd} < {hav}
-                  THEN {segd} ELSE {hav} END) AS dmin
-  FROM sv GROUP BY 1, 2
+                  THEN {segd} ELSE {hav} END) AS dmin,
+         SUM({cross}) AS ncross
+  FROM sv GROUP BY 1, 2, 3
+),
+de AS (
+  SELECT feature_id, layer,
+         CASE WHEN geom_type = 'Polygon' AND ncross % 2 = 1
+              THEN 0.0 ELSE dmin END AS deff
+  FROM dv
 )
 SELECT f.feature_id, f.layer, f.geom_type
 FROM features_v f
-JOIN dv ON dv.feature_id = f.feature_id AND dv.layer = f.layer
+JOIN de ON de.feature_id = f.feature_id AND de.layer = f.layer
 WHERE f.geom_type IN ('Point', 'LineString', 'Polygon')
-  AND ((f.layer = 'poi_label' AND dv.dmin < 600000)
-       OR (f.layer = 'road' AND dv.dmin < 20000))
+  AND ((f.layer = 'poi_label' AND de.deff < 600000)
+       OR (f.layer = 'road' AND de.deff < 20000))
 """)
 
     tx7 = geo.tile_x_sql("lon", 7)

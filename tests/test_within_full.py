@@ -385,3 +385,54 @@ def test_point_segment_distance_sql_parity(spark):
         for a, b, c, d in segs
     ]
     assert got == want  # bit-equal, not approx
+
+
+def test_distance_polygon_inside_zero(spark):
+    """GL distance for Polygon features is 0 when the query point lies
+    inside the fill (mbgl: shortest distance to the geometry) — a
+    polygon surrounding the point matches ANY radius even though its
+    boundary is far; a polygon not containing it is judged by
+    boundary distance; a donut whose HOLE contains the point is NOT
+    zero (even-odd across rings)."""
+    from vtshaver_spark import Filters, style_to_filters
+    from vtshaver_spark.operators.shave import shave
+
+    feats = spark.createDataFrame(
+        [
+            (16, 0, 0, "landuse", 1, "Polygon", {"k": "v"}),  # surrounds P
+            (16, 0, 0, "landuse", 2, "Polygon", {"k": "v"}),  # far square
+            (16, 0, 0, "landuse", 3, "Polygon", {"k": "v"}),  # donut, P in hole
+        ],
+        "z int, x bigint, y bigint, layer string, feature_id bigint, "
+        "geom_type string, props map<string,string>",
+    )
+
+    def ring(fid, path, pts):
+        return [
+            (16, 0, 0, "landuse", fid, "Polygon", path, i, float(x), float(y))
+            for i, (x, y) in enumerate(pts)
+        ]
+
+    sq = [(-2, -2), (2, -2), (2, 2), (-2, 2), (-2, -2)]
+    far = [(5, 5), (9, 5), (9, 9), (5, 9), (5, 5)]
+    hole = [(-1, -1), (1, -1), (1, 1), (-1, 1), (-1, -1)]
+    verts = spark.createDataFrame(
+        ring(1, 0, sq) + ring(2, 0, far) + ring(3, 0, sq) + ring(3, 1, hole),
+        "z int, x bigint, y bigint, layer string, feature_id bigint, "
+        "geom_type string, path_idx int, vertex_idx int, lon double, lat double",
+    )
+    style = {
+        "layers": [{
+            "source-layer": "landuse",
+            "filter": [
+                "<",
+                ["distance", {"type": "Point", "coordinates": [0.0, 0.0]}],
+                1000,
+            ],
+        }]
+    }
+    kept = shave(
+        feats, Filters(style_to_filters(style)), zoom=16, maxzoom=16,
+        vertex_df=verts,
+    )
+    assert {r["feature_id"] for r in kept.collect()} == {1}

@@ -79,9 +79,11 @@ def feature_within_multi(
     segment toward the next vertex of the same path — the
     point-to-SEGMENT distance (closest interior point, mbgl parity per
     /root/reference/src/filters.cpp:108-121), reduced by the same MIN
-    aggregate. Exact for Point/MultiPoint features and for LineString
-    interiors; segments ride the lead() window the crossing test
-    already pays for, so this adds zero shuffles.
+    aggregate — and for Polygon features the distance is 0 when the
+    query point lies INSIDE the fill (even-odd crossing count vs the
+    feature's own closed rings, holes included). Exact for all three
+    geometry classes; segments and crossings ride the lead() window
+    the within test already pays for, so this adds zero shuffles.
     """
     keys = [k for k in keys if k in vertex_df.columns]
     if out_cols is None:
@@ -120,11 +122,30 @@ def feature_within_multi(
         flags = flags.withColumn(
             f"_d_{j}", F.when(sd.isNotNull() & (sd < vd), sd).otherwise(vd)
         )
+        # even-odd ray crossing count vs the FEATURE's own edges: for
+        # Polygon features GL distance is 0 when the query point lies
+        # inside the fill (mbgl: shortest distance to the geometry);
+        # counted across all paths so holes flip parity back out.
+        # Rings follow the closed convention (MVT ClosePath repeats
+        # the first vertex — sources/mvt.py), so the lead() segments
+        # cover every edge. The division is nested under the
+        # non-horizontal gate (a CASE branch on BOTH engines — eager
+        # division by zero would differ between them).
+        x_at = (F.lit(float(plat)) - lat_c) * ((nlon - lon_c) / (nlat - lat_c)) + lon_c
+        cross_cnt = F.when(
+            nlon.isNotNull()
+            & same_path
+            & (lat_c != nlat)
+            & ((lat_c > F.lit(float(plat))) != (nlat > F.lit(float(plat)))),
+            F.when(F.lit(float(plon)) < x_at, 1).otherwise(0),
+        ).otherwise(0)
+        flags = flags.withColumn(f"_c_{j}", cross_cnt)
 
     agg = flags.groupBy(*keys, geom_type_col).agg(
         *[F.bool_and(f"_in_{i}").alias(f"_all_in_{i}") for i in range(len(geoms))],
         *[F.bool_or(f"_cross_{i}").alias(f"_any_cross_{i}") for i in range(len(geoms))],
         *[F.min(f"_d_{j}").alias(f"_dmin_{j}") for j in range(len(distance_points))],
+        *[F.sum(f"_c_{j}").alias(f"_cx_{j}") for j in range(len(distance_points))],
     )
     verdicts = []
     for i, name in enumerate(out_cols):
@@ -138,7 +159,13 @@ def feature_within_multi(
             .alias(name)
         )
     dists = [
-        F.col(f"_dmin_{j}").alias(name) for j, name in enumerate(distance_cols)
+        F.when(
+            (F.col(geom_type_col) == "Polygon") & (F.col(f"_cx_{j}") % 2 == 1),
+            F.lit(0.0),
+        )
+        .otherwise(F.col(f"_dmin_{j}"))
+        .alias(name)
+        for j, name in enumerate(distance_cols)
     ]
     return agg.select(*keys, geom_type_col, *verdicts, *dists)
 
