@@ -203,14 +203,24 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
         )
     if kernels:
         if subset == "kernels":
+            # default mult 32 (r5): the JVM column-math encode is ~6x
+            # the Arrow kernel's throughput, so the r4 x4 sizing ran
+            # its hi leg under 2s — below the multiple-seconds floor
+            # rule; x32 puts it at ~8-9s
             s2_repl = replicate * int(
-                os.environ.get("SPARK_GRAFT_S2_REPL_MULT", "4")
+                os.environ.get("SPARK_GRAFT_S2_REPL_MULT", "32")
             )
+            # NOT cached (r5): the column-math s2 encode is pure
+            # codegen, and caching a multi-GB corpus turns the timed
+            # query into a DRAM-bandwidth-bound cached scan — the
+            # single-socket memory-bus pathology the 2v8 pair exists
+            # to avoid (measured: cached x32 corpus read 0.729 leg
+            # efficiency with plans identical to tile_rollup's 0.937).
+            # Explode-synthesized input per pass matches the
+            # relational suite's discipline.
             images_s2 = _replicate(
                 spark.table("images_v").select("lon", "lat"), s2_repl, n_part
-            ).cache()
-            cached.append(images_s2)
-            images_s2.count()
+            )
         else:
             images_s2 = images
         timed(
@@ -316,7 +326,11 @@ def run_suite(spark: SparkSession, sf_dir: str, replicate: int = REPLICATE, subs
         # reference's bench corpus (~50 features/tile — the sf fixture
         # averages 49). Directly comparable to the reference CI gate
         # (>= 1000 tiles/s, bench/bench-batch.js:126-133).
-        mvt_factor = min(replicate, 32)
+        # headline keeps the historical x32 cap for round-comparability;
+        # the dedicated codec scaling suite must honor its own sizing —
+        # the r5 varint-fast codec runs a capped hi leg in ~1.2s, under
+        # the multiple-seconds floor rule (read as a fake 0.76-0.79)
+        mvt_factor = replicate if subset == "mvt" else min(replicate, 32)
         fbase = features_with_props(spark).repartition(n_part)
         n_rows = fbase.count() * mvt_factor
         grid = max(4, int((n_rows / 50.0) ** 0.5) + 1)
@@ -532,7 +546,10 @@ def main():
             os.environ.setdefault("SPARK_GRAFT_EMB_REPLICATE", "512")
             runs["kernels"] = pair_run(ker_pair, ker_repl, "kernels")
         if "codec" in wanted:
-            codec_repl = int(os.environ.get("SPARK_GRAFT_CODEC_REPLICATE", "32"))
+            # default 128 (r5): at x32 the varint-fast codec's hi leg
+            # ran ~1.2s (floor-depressed 0.76-0.79 readings); x128
+            # puts it at ~6s
+            codec_repl = int(os.environ.get("SPARK_GRAFT_CODEC_REPLICATE", "128"))
             runs["codec"] = pair_run(ker_pair, codec_repl, "mvt")
         out = {
             "metric": "tiles shaved + spatially joined per second (scaling)",
@@ -699,6 +716,52 @@ The structural findings (isolation-probed, then confirmed in-suite):
    local mode). Same for s2: its own x4 corpus lifts the hi leg from
    1.6s to ~5s (0.60 -> 0.728; s2 stays the transport-bound floor
    case — its kernel is too cheap per row for transport to amortize).
+
+## Round-5 sessions (2026-08-18): s2 goes JVM, two harness artifacts rooted out
+
+The S2 encode was re-expressed as pure JVM Column math (functions/
+s2.py with_s2_cell_col — the Hilbert loop unrolled into materialized
+column steps; bit-parity with the numpy kernel pinned), removing the
+Arrow transport floor entirely. Chasing its scaling number then
+exposed TWO harness artifacts that had nothing to do with the plan:
+
+| session | change | rel | s2 | knn | ann | codec |
+|---|---|---|---|---|---|---|
+| R5a | s2 column path, r4 sizings | 0.859 | 0.553 | 0.880 | 0.869 | 0.789 |
+| R5b | s2 corpus x16 | 0.858 | 0.788 | 0.927 | 0.842 | 0.760 |
+| R5c | s2 x32, codec x128 (env ignored: x32 cap) | — | 0.729 | 0.830 | 0.874 | 0.787 |
+| R5d | s2 corpus UNCACHED, codec cap fixed | — | 0.775 | 0.921 | 0.850 | **0.841** |
+| R5e | final harness, full three-suite (canonical BENCH.md) | **0.860** | **0.832** | 0.788 | 0.829 | **0.819** |
+
+Suite aggregates in R5e: relational 0.860, kernels 0.816, codec 0.819
+— all three clear the >= 0.8 north rule in ONE full session for the
+first time, with the former weak leg (s2) at 0.832 in-suite and
+0.89-1.06 in isolated probes. Per-leg numbers still breathe with
+tenancy window (knn read 0.92-0.98 in R5b/R5d and 0.79 in R5e); the
+cross-session per-leg maxima — the best-window estimator r3
+established — are s2 0.832, knn 0.976, ann 0.874, codec 0.841.
+
+1. **Floor re-sizing, again**: the column-math encode is ~6x the Arrow
+   kernel's throughput, so the r4 x4 corpus ran the s2 hi leg in
+   1.9s and the varint-fast codec's capped corpus ran its hi leg in
+   1.2s — both below the multiple-seconds rule, reading as fake
+   0.55/0.76-0.79. Defaults now: s2 mult 32 (~8-9s hi), codec
+   replicate 128 (~6s hi) — and the codec suite honors its own
+   sizing (the headline's min(replicate, 32) cap no longer applies
+   to subset="mvt").
+2. **Cached-scan bandwidth is not the plan**: the kernels suite
+   cached its 307M-row s2 corpus (5+ GB); a cached columnar scan at
+   8 threads contends on the single socket's DRAM exactly like the
+   8v32 pathology BENCH.md's pair choice exists to avoid (0.729 with
+   plans identical in shape to tile_rollup's 0.937 leg). The s2
+   corpus is now explode-synthesized per pass like every relational
+   input.
+3. **Isolated attribution probe** (fresh plans per pass — re-collect
+   of one DataFrame reuses shuffle outputs and reads 0.04s! —
+   interleaved 2v8, min-of-2, both configs warmed): the uncached
+   encode+countDistinct leg reads **1.059**, encode+sum 0.888. The
+   encode itself scales; residual in-suite readings below that are
+   window tenancy (the same cross-session variance r3/r4 recorded).
 """
 
 

@@ -10,9 +10,12 @@ numpy — chunk parsing with CRC verification, all five scanline
 filters, gray/RGB/palette/alpha color types), so the most common
 lossless interchange format needs no third-party libs. The engine's
 own ``RAWI`` format (12-byte header + uint8 RGB payload) remains the
-zero-cost test interchange. Lossy formats (JPEG, ...) fall back to
-PIL when importable and raise NotImplementedError otherwise —
-``decode_image`` is the sniffing router.
+zero-cost test interchange. Baseline JPEG, GIF (real LZW, frames,
+interlace) and baseline TIFF (gray/RGB/palette, PackBits) also decode
+natively (functions/jpeg.py, functions/gif_tiff.py); remaining formats
+(WebP, progressive JPEG, ...) fall back to PIL when importable and
+raise NotImplementedError otherwise — ``decode_image`` is the sniffing
+router.
 """
 
 from __future__ import annotations
@@ -297,6 +300,14 @@ def decode_image(b: bytes) -> np.ndarray:
         from vtshaver_spark.functions.jpeg import jpeg_decode
 
         return jpeg_decode(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from vtshaver_spark.functions.gif_tiff import gif_decode
+
+        return gif_decode(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from vtshaver_spark.functions.gif_tiff import tiff_decode
+
+        return tiff_decode(b)
     if HAS_PIL:
         import io
 
@@ -304,7 +315,8 @@ def decode_image(b: bytes) -> np.ndarray:
 
         return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
     raise NotImplementedError(
-        "unrecognized image format (not RAWI/PNG/JPEG) and PIL is unavailable"
+        "unrecognized image format (not RAWI/PNG/JPEG/GIF/TIFF — e.g. "
+        "WebP needs a VP8 decoder) and PIL is unavailable"
     )
 
 

@@ -297,10 +297,17 @@ def frame_sample(
     video_col: str = "video_bytes",
     id_col: str = "video_id",
 ) -> DataFrame:
-    """Video frame sampling plumbing: a "video" is a concatenation of
-    RAWI frames; emit every n-th frame as its own row. (Real container
-    demuxing would need libav — stubbed; the batching/explode shape is
-    the real thing.)"""
+    """Video frame sampling: emit every n-th frame as its own row.
+
+    Two container formats demux NATIVELY (r5): RAWI concatenations
+    (the deterministic test interchange) and animated GIF — a real
+    multi-frame wire format, decoded end-to-end by our own LZW/
+    compositing decoder (functions/gif_tiff.gif_frames); sampled GIF
+    frames are re-encoded as RAWI so every downstream stage (phash,
+    decode_features) sees one uniform frame format. Codec-bearing
+    containers (mp4/webm) would need libav — they raise through
+    decode_image's capability gate; the batching/explode shape is
+    identical either way."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.StringType()),
@@ -310,10 +317,19 @@ def frame_sample(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from vtshaver_spark.functions.gif_tiff import GIF_MAGICS, gif_frames
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for vid, blob in zip(pdf[id_col], pdf[video_col]):
                 blob = bytes(blob)
+                if blob[:6] in GIF_MAGICS:
+                    for i, arr in enumerate(gif_frames(blob)):
+                        if i % every_n == 0:
+                            ids.append(vid)
+                            idxs.append(i)
+                            frames.append(rawi_encode(arr))
+                    continue
                 off = 0
                 i = 0
                 while off < len(blob):
