@@ -139,13 +139,13 @@ def with_s2_cell_col(
     Bit-for-bit the same ids as ``s2_cell_id_np`` (parity pinned in
     tests/test_geo.py on a deterministic global sweep): same cube-face
     selection, quadratic (u,v)->(s,t), truncating ij quantization, and
-    the same per-face Hilbert curve — the xy2d loop is unrolled into
-    ``level`` materialized column steps. Intermediates are REAL
-    projected columns (not one nested expression): each Hilbert state
-    column is referenced several times by the next step, which is
-    exactly the case Catalyst's CollapseProject declines to inline, so
-    the plan stays a layered project chain that codegen fuses without
-    exponential expression blow-up. This is the scale path: the Arrow
+    the same per-face Hilbert curve — xy2d expressed as the 4-state
+    lookup machine, ``level`` materialized 3-column steps. The state
+    index column is referenced twice by each step, which is exactly
+    the case Catalyst's CollapseProject declines to inline, so the
+    plan stays a layered project chain — linear expression growth —
+    small enough for the fused span to stay under codegen's
+    method-size limits. This is the scale path: the Arrow
     variant pays a per-batch transport floor that cannot parallelize
     in local mode (the r4 ``s2_cells`` 0.728 scaling leg); this one
     scales like any other codegen map stage.
@@ -205,37 +205,45 @@ def with_s2_cell_col(
 
     df = df.withColumn("_s2i", ij(st(u))).withColumn("_s2j", ij(st(v)))
 
-    # Hilbert xy2d, unrolled: one materialized (d, x, y) step per level
-    df = df.withColumn("_s2d", F.lit(0).cast("long"))
-    s = 1 << (level - 1)
-    while s > 0:
-        xx, yy = F.col("_s2i"), F.col("_s2j")
-        df = (
-            df.withColumn("_s2rx", (xx.bitwiseAND(F.lit(s)) > 0).cast("long"))
-            .withColumn("_s2ry", (yy.bitwiseAND(F.lit(s)) > 0).cast("long"))
+    # Hilbert xy2d as the 4-STATE LOOKUP machine, MSB-first: per level
+    # THREE narrow integer expressions (quadrant index, curve digit,
+    # next state) against two packed 32-bit constant tables — instead
+    # of the classic flip/swap rotation, whose ~7 CASE-bearing columns
+    # per level blew the fused span past codegen's method-size limit
+    # and dropped the whole chain to interpreted Projects (measured
+    # ~3x the Arrow kernel's wall on the headline corpus). This form
+    # generates a few shift/mask lines per level and stays compiled.
+    # ``_s2k`` is a materialized column referenced twice (digit + next
+    # state), which CollapseProject declines to inline, so the chain
+    # stays layered with linear — not exponential — expression growth.
+    # DT/NT pack the 4x4 digit / next-state tables 2 bits per entry;
+    # bit parity with the rotate/flip ``_hilbert_d`` is pinned in
+    # tests/test_geo.py.
+    DT, NT = 0x1E369CB4, 0xB7CA5C21
+    df = df.withColumn("_s2d", F.lit(0).cast("long")).withColumn(
+        "_s2s", F.lit(0).cast("long")
+    )
+    for b in range(level - 1, -1, -1):
+        df = df.withColumn(
+            "_s2k",
+            (
+                F.shiftleft(F.col("_s2s"), 3)
+                + F.shiftleft(
+                    F.shiftright(F.col("_s2i"), b).bitwiseAND(F.lit(1)), 2
+                )
+                + F.shiftleft(
+                    F.shiftright(F.col("_s2j"), b).bitwiseAND(F.lit(1)), 1
+                )
+            ).cast("int"),
         )
-        rx, ry = F.col("_s2rx"), F.col("_s2ry")
         df = df.withColumn(
             "_s2d",
-            F.col("_s2d") + F.lit(s * s) * (rx * F.lit(3)).bitwiseXOR(ry),
+            F.shiftleft(F.col("_s2d"), 2).bitwiseOR(
+                F.expr(f"shiftright({DT}, _s2k) & 3")
+            ),
+        ).withColumn(
+            "_s2s", F.expr(f"cast(shiftright({NT}, _s2k) & 3 as bigint)")
         )
-        flip = (ry == 0) & (rx == 1)
-        df = (
-            df.withColumn(
-                "_s2fx", F.when(flip, F.lit(s - 1) - xx).otherwise(xx)
-            ).withColumn(
-                "_s2fy", F.when(flip, F.lit(s - 1) - yy).otherwise(yy)
-            )
-        )
-        swap = ry == 0
-        df = (
-            df.withColumn(
-                "_s2i", F.when(swap, F.col("_s2fy")).otherwise(F.col("_s2fx"))
-            ).withColumn(
-                "_s2j", F.when(swap, F.col("_s2fx")).otherwise(F.col("_s2fy"))
-            )
-        )
-        s >>= 1
 
     shift = 2 * (MAX_LEVEL - level) + 1
     cell = (
@@ -245,7 +253,7 @@ def with_s2_cell_col(
     )
     return df.withColumn(out, cell).drop(
         "_s2x", "_s2y", "_s2z", "_s2f", "_s2i", "_s2j", "_s2d",
-        "_s2rx", "_s2ry", "_s2fx", "_s2fy",
+        "_s2s", "_s2k",
     )
 
 
