@@ -21,6 +21,19 @@ def _stamp(path: str, order: int) -> None:
             os.utime(os.path.join(root, fn), (t, t))
 
 
+def _write_batch(df, path: str, order: int) -> None:
+    """One micro-batch = ONE part file. A tiny createDataFrame write
+    fans out to one part file per non-empty slice; all of them get the
+    same _stamp mtime, so with maxFilesPerTrigger=1 the source's
+    intra-dir order is an unspecified tie — if a LATER event's part
+    file drains first, a 0-second watermark advances past the earlier
+    event and silently drops it as late (observed: the event-time
+    closure test emitted (1,1,2.0) instead of (1,2,3.0)).
+    repartition(1) collapses the tie; sessionize_replay does the same."""
+    df.repartition(1).write.parquet(path)
+    _stamp(path, order)
+
+
 def test_stream_dedup(spark, tmp_path):
     src = str(tmp_path / "dedup_src")
     # two files -> (at least) two micro-batches under availableNow
@@ -68,15 +81,17 @@ def test_stream_sessionize(spark, tmp_path):
 
     schema = "user_id long, ts timestamp, value double"
     # batch 1: user 1 has two events 5 min apart (one session so far)
-    spark.createDataFrame(
-        [row(1, 0, 1.0), row(1, 5, 2.0), row(2, 0, 5.0)], schema
-    ).write.parquet(src + "/f1")
-    _stamp(src + "/f1", 1)
+    _write_batch(
+        spark.createDataFrame(
+            [row(1, 0, 1.0), row(1, 5, 2.0), row(2, 0, 5.0)], schema
+        ),
+        src + "/f1", 1,
+    )
     # batch 2: user 1 returns 90 min later -> closes session #1
-    spark.createDataFrame(
-        [row(1, 95, 3.0), row(2, 10, 5.0)], schema
-    ).write.parquet(src + "/f2")
-    _stamp(src + "/f2", 2)
+    _write_batch(
+        spark.createDataFrame([row(1, 95, 3.0), row(2, 10, 5.0)], schema),
+        src + "/f2", 2,
+    )
 
     stream = (
         spark.readStream.schema(schema)
@@ -125,30 +140,21 @@ def test_stream_sessionize_event_time_closure(spark, tmp_path):
 
     schema = "user_id long, ts timestamp, value double"
     # batch 1: user 1's only events (0 and 5 min) — session stays open
-    spark.createDataFrame(
-        [row(1, 0, 1.0), row(1, 5, 2.0)], schema
-    ).write.parquet(src + "/f1")
-    _stamp(src + "/f1", 1)
-    # batch 2: OTHER user far in the future advances the watermark
-    spark.createDataFrame([row(2, 120, 5.0)], schema).write.parquet(
-        src + "/f2"
+    _write_batch(
+        spark.createDataFrame([row(1, 0, 1.0), row(1, 5, 2.0)], schema),
+        src + "/f1", 1,
     )
-    _stamp(src + "/f2", 2)
+    # batch 2: OTHER user far in the future advances the watermark
+    _write_batch(spark.createDataFrame([row(2, 120, 5.0)], schema), src + "/f2", 2)
     # batch 3: another late-arriving user keeps the stream moving so
     # the timeout (armed at 35 min, watermark now 120) fires
-    spark.createDataFrame([row(3, 130, 7.0)], schema).write.parquet(
-        src + "/f3"
-    )
-    _stamp(src + "/f3", 3)
+    _write_batch(spark.createDataFrame([row(3, 130, 7.0)], schema), src + "/f3", 3)
     # batch 4: one more advancing batch — the watermark lags one batch
     # and a timeout clamped to wm+1 (when a session starts AFTER the
     # watermark already passed its due time) needs the NEXT strictly
     # later watermark to fire; a fourth file makes closure independent
     # of file-listing order
-    spark.createDataFrame([row(4, 140, 9.0)], schema).write.parquet(
-        src + "/f4"
-    )
-    _stamp(src + "/f4", 4)
+    _write_batch(spark.createDataFrame([row(4, 140, 9.0)], schema), src + "/f4", 4)
 
     stream = (
         spark.readStream.schema(schema)
