@@ -94,13 +94,19 @@ def test_quality_extremes_and_flat():
 def test_unsupported_modes_named():
     arr = _smooth(16, 16)
     b = bytearray(jpeg_encode(arr))
-    # rewrite SOF0 -> SOF2 (progressive)
+    # rewrite SOF0 -> SOF9 (arithmetic sequential — genuinely out of
+    # scope; SOF2 progressive is decodable as of r5)
     i = bytes(b).find(b"\xff\xc0")
-    b[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    b[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF9"):
         jpeg_decode(bytes(b))
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode(b"\x00\x11junk")
+    # a baseline-shaped SOS grafted onto a progressive frame is
+    # malformed per T.81 G.1 and must be named, not garbled
+    b[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Ss=0 requires Se=0"):
+        jpeg_decode(bytes(b))
 
 
 def test_grayscale_single_component():
@@ -285,3 +291,86 @@ def test_pil_cross_decodes_422_and_dri():
         theirs = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
         assert psnr(theirs, jpeg_decode(b)) > 35.0, kwargs
         assert psnr(arr, theirs) > 33.0, kwargs
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — r5
+# ---------------------------------------------------------------------------
+
+def _prog():
+    from vtshaver_spark.functions.jpeg import jpeg_encode_progressive
+    return jpeg_encode_progressive
+
+
+@pytest.mark.parametrize("sub", ["444", "420", "422"])
+@pytest.mark.parametrize("w,h", [(32, 32), (37, 21), (8, 8)])
+def test_progressive_equals_baseline_pixels(sub, w, h):
+    """The decisive cross-path invariant: both encoders quantize
+    through the same front end, so the progressive stream (10-scan
+    spectral selection + successive approximation, per-scan optimal
+    Huffman) must decode to BIT-IDENTICAL pixels as the baseline
+    stream — two entirely different entropy layouts converging on the
+    same coefficient store. Odd sizes exercise the non-interleaved
+    actual-block grid (smaller than the MCU-padded grid)."""
+    enc = _prog()
+    for q in (50, 85, 98):
+        arr = synth_image(f"prog_{sub}_{w}x{h}_{q}", w, h)
+        base = jpeg_decode(jpeg_encode(arr, q, subsampling=sub))
+        prog = jpeg_decode(enc(arr, q, subsampling=sub))
+        assert np.array_equal(base, prog), (sub, w, h, q)
+
+
+def test_progressive_edge_content():
+    """Flat (long EOBn runs across blocks), impulse (ZRL paths), and
+    noise (dense AC refinement correction bits) all round-trip to the
+    baseline decode exactly."""
+    enc = _prog()
+    rng = np.random.default_rng(7)
+    flat = np.full((48, 80, 3), 137, np.uint8)
+    sparse = np.zeros((40, 40, 3), np.uint8)
+    sparse[20, 20] = [255, 0, 255]
+    noise = rng.integers(0, 256, (53, 41, 3)).astype(np.uint8)
+    for arr in (flat, sparse, noise):
+        for sub in ("444", "420"):
+            base = jpeg_decode(jpeg_encode(arr, 85, subsampling=sub))
+            prog = jpeg_decode(enc(arr, 85, subsampling=sub))
+            assert np.array_equal(base, prog)
+
+
+def test_progressive_wire_structure():
+    """SOF2 frame, ten SOS scans, deterministic bytes, and smaller
+    output than baseline (optimal tables + EOB run coding)."""
+    enc = _prog()
+    arr = synth_image("prog_wire", 48, 32)
+    b = enc(arr, 85)
+    assert b == enc(arr, 85)  # deterministic
+    ms = _markers(b)
+    assert ms[0] == 0xE0 and 0xC2 in ms and ms[-1] == 0xD9
+    assert ms.count(0xDA) == 10  # the standard 10-scan script
+    assert 0xC0 not in ms and 0xC4 in ms
+    assert len(b) < len(jpeg_encode(arr, 85))
+
+
+def test_progressive_router():
+    out = decode_image(_prog()(synth_image("prog_router", 24, 18), 95))
+    assert out.shape == (18, 24, 3) and out.dtype == np.uint8
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="PIL not installed")
+def test_pil_cross_decodes_progressive():
+    """libjpeg accepts and pixel-agrees with our progressive stream,
+    and our decoder accepts libjpeg's own progressive output."""
+    import io
+
+    from PIL import Image
+
+    arr = synth_image("prog_pil", 40, 40)
+    ours = _prog()(arr, 90)
+    theirs = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+    assert psnr(jpeg_decode(ours), theirs) > 45.0
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=90,
+                              progressive=True)
+    libjpeg_prog = buf.getvalue()
+    assert psnr(arr, jpeg_decode(libjpeg_prog)) > 30.0

@@ -10,12 +10,12 @@ numpy — chunk parsing with CRC verification, all five scanline
 filters, gray/RGB/palette/alpha color types), so the most common
 lossless interchange format needs no third-party libs. The engine's
 own ``RAWI`` format (12-byte header + uint8 RGB payload) remains the
-zero-cost test interchange. Baseline JPEG, GIF (real LZW, frames,
-interlace) and baseline TIFF (gray/RGB/palette, PackBits) also decode
-natively (functions/jpeg.py, functions/gif_tiff.py); remaining formats
-(WebP, progressive JPEG, ...) fall back to PIL when importable and
-raise NotImplementedError otherwise — ``decode_image`` is the sniffing
-router.
+zero-cost test interchange. JPEG (baseline AND progressive), GIF
+(real LZW, frames, interlace) and baseline TIFF (gray/RGB/palette,
+PackBits) also decode natively (functions/jpeg.py,
+functions/gif_tiff.py); remaining formats (WebP, JPEG 2000, ...)
+fall back to PIL when importable and raise NotImplementedError
+otherwise — ``decode_image`` is the sniffing router.
 """
 
 from __future__ import annotations

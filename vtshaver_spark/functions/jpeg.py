@@ -8,15 +8,20 @@ reference keeps codecs at the pipeline edges
 functions are only ever called inside Arrow-batched kernels after all
 relational pruning (operators/multimodal.py).
 
-Scope (ITU-T T.81 baseline, the overwhelmingly common profile):
+Scope (ITU-T T.81, the profiles that dominate real image lakes):
 
-- decode: SOF0 (baseline sequential, 8-bit), 1 or 3 components,
-  4:4:4 / 4:2:0 / 4:2:2 / 4:1:1 sampling, restart intervals (DRI /
-  RSTn), multiple DQT/DHT segments. Progressive (SOF2), arithmetic
-  coding, and 12-bit precision raise NotImplementedError by name.
-- encode: baseline 4:4:4 with the Annex K quantization + Huffman
-  tables (scaled by the libjpeg quality convention), JFIF APP0 header.
-  Deterministic: same array + quality -> same bytes.
+- decode: SOF0/SOF1 (sequential, 8-bit) AND SOF2 (progressive —
+  spectral selection + successive approximation, Annex G; r5), 1 or 3
+  components, 4:4:4 / 4:2:0 / 4:2:2 / 4:1:1 sampling, restart
+  intervals (DRI / RSTn), multiple DQT/DHT segments. Arithmetic
+  coding and 12-bit precision raise NotImplementedError by name.
+- encode: baseline 4:4:4 / 4:2:0 / 4:2:2 with the Annex K tables
+  (scaled by the libjpeg quality convention), JFIF APP0 header; and
+  progressive (jpeg_encode_progressive) with the standard 10-scan
+  script and per-scan optimal Huffman tables. Deterministic: same
+  array + options -> same bytes. Both encoders quantize through the
+  same front end, so progressive and baseline streams of one image
+  decode to bit-identical pixels (pinned in tests/test_jpeg.py).
 
 Entropy decode is inherently sequential (Huffman + DC prediction), so
 the bit reader is a tight Python loop; everything block-shaped (DCT,
@@ -305,21 +310,14 @@ def _quantize_component(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return quant.reshape(-1, 64)[:, ZIGZAG].reshape(h8, w8, 64)
 
 
-def jpeg_encode(
-    arr: np.ndarray,
-    quality: int = 85,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex K tables at
-    the libjpeg quality scaling). ``subsampling``: '444' (one block
-    per component per MCU), '420' (2x2 luma + mean-subsampled chroma —
-    the common camera profile), or '422' (2x1 luma, horizontal-only
-    chroma subsampling — the broadcast/video-frame profile; r5,
-    matching the decoder's existing 4:2:2 support).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (resync points a parallel decoder can split on).
-    Deterministic."""
+def _quantize_image(arr: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front end: RGB -> per-component quantized zigzag
+    blocks on the MCU-padded grid. Returns
+    (comp_q, qy, qc, hs, vs) — the entropy layout (baseline vs
+    progressive) is the only thing that differs downstream, so both
+    encoders quantize through here and therefore agree coefficient-
+    for-coefficient (the basis of the progressive==baseline pixel
+    invariant in tests/test_jpeg.py)."""
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
     samp = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
@@ -345,6 +343,29 @@ def jpeg_encode(
         _quantize_component(chroma[..., 0], qc),
         _quantize_component(chroma[..., 1], qc),
     ]
+    return comp_q, qy, qc, hs, vs
+
+
+def jpeg_encode(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex K tables at
+    the libjpeg quality scaling). ``subsampling``: '444' (one block
+    per component per MCU), '420' (2x2 luma + mean-subsampled chroma —
+    the common camera profile), or '422' (2x1 luma, horizontal-only
+    chroma subsampling — the broadcast/video-frame profile; r5,
+    matching the decoder's existing 4:2:2 support).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (resync points a parallel decoder can split on).
+    Deterministic."""
+    h, w = arr.shape[:2]
+    comp_q, qy, qc, hs, vs = _quantize_image(arr, quality, subsampling)
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    ph = (h + mcu_h - 1) // mcu_h * mcu_h
+    pw = (w + mcu_w - 1) // mcu_w * mcu_w
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -456,6 +477,7 @@ def jpeg_decode(b: bytes) -> np.ndarray:
     frame = None
     restart_interval = 0
     rgb = None
+    prog_stores = None  # progressive: zigzag coef accumulators per comp
 
     while pos < len(b):
         if b[pos] != 0xFF:
@@ -488,7 +510,7 @@ def jpeg_decode(b: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _HuffDecoder(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (seq) / SOF2 (progressive)
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision}")
@@ -498,11 +520,13 @@ def jpeg_decode(b: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": fh, "w": fw, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (only baseline sequential supported)"
+                f"JPEG SOF{marker - 0xC0} "
+                "(only baseline sequential / progressive supported)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -517,12 +541,25 @@ def jpeg_decode(b: bytes) -> np.ndarray:
                 scan.append((comp, t >> 4, t & 0xF))
             # entropy data follows the SOS segment until next marker
             data_start = pos + seglen
-            rgb, pos = _decode_scan(
-                b, data_start, frame, scan, qtables, huff_dc, huff_ac,
-                restart_interval,
-            )
+            if frame["progressive"]:
+                ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                if prog_stores is None:
+                    prog_stores = _alloc_progressive_stores(frame)
+                pos = _decode_progressive_scan(
+                    b, data_start, frame, scan, ss, se, a >> 4, a & 0xF,
+                    prog_stores, huff_dc, huff_ac, restart_interval,
+                )
+            else:
+                rgb, pos = _decode_scan(
+                    b, data_start, frame, scan, qtables, huff_dc, huff_ac,
+                    restart_interval,
+                )
             continue
         pos += seglen
+    if frame is not None and frame["progressive"]:
+        if prog_stores is None:
+            raise ValueError("JPEG contains no decoded scan")
+        rgb = _render_progressive(frame, prog_stores, qtables)
     if rgb is None:
         raise ValueError("JPEG contains no decoded scan")
     return rgb
@@ -613,10 +650,25 @@ def _decode_scan(b, pos, frame, scan, qtables, huff_dc, huff_ac,
                     store[ci][row * mcux * c["h"] + col] = blk.reshape(8, 8)
 
     # dequantize + IDCT + assemble planes (vectorized over all blocks)
+    comps_only = [c for c, _, _ in scan]
+    return (
+        _render_planes(comps_only, store, qtables, h, w, hmax, vmax,
+                       mcux, mcuy),
+        end_pos,
+    )
+
+
+def _render_planes(comps, nat_blocks, qtables, h, w, hmax, vmax,
+                   mcux, mcuy) -> np.ndarray:
+    """Natural-order (n, 8, 8) coefficient blocks per component ->
+    (h, w, 3) uint8 RGB: dequantize, IDCT, nearest upsample, crop,
+    color-convert — vectorized over all blocks. Shared by the baseline
+    and progressive paths so a given coefficient store renders to
+    bit-identical pixels regardless of how it was entropy-coded."""
     planes = []
-    for ci, (c, _, _) in enumerate(scan):
+    for c, blocks in zip(comps, nat_blocks):
         qt = qtables[c["tq"]]
-        coefs = store[ci].astype(np.float64) * qt
+        coefs = blocks.astype(np.float64) * qt
         spatial = np.einsum("ji,njk,kl->nil", _C, coefs, _C) + 128.0
         bw, bh = mcux * c["h"], mcuy * c["v"]
         plane = _unblockify(spatial, bh * 8, bw * 8)
@@ -628,7 +680,525 @@ def _decode_scan(b, pos, frame, scan, qtables, huff_dc, huff_ac,
 
     if len(planes) == 1:
         y = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
-        return np.repeat(y[:, :, None], 3, axis=2), end_pos
+        return np.repeat(y[:, :, None], 3, axis=2)
     if len(planes) != 3:
         raise NotImplementedError(f"{len(planes)}-component JPEG")
-    return _ycbcr_to_rgb(planes[0], planes[1], planes[2]), end_pos
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2): spectral selection + successive approximation
+# (ITU-T T.81 Annex G). Coefficients accumulate across scans in
+# per-component ZIGZAG-order stores; rendering happens once at EOI
+# through the same _render_planes as the baseline path, so equal
+# coefficient stores give bit-identical pixels.
+# ---------------------------------------------------------------------------
+
+
+def _frame_geometry(frame):
+    """(hmax, vmax, mcux, mcuy) from the FRAME's component set —
+    progressive scans reference component subsets, but block grids are
+    laid out against the full frame's sampling maxima."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _actual_blocks(frame, c):
+    """(rows, cols) of REAL coefficient blocks for one component: a
+    non-interleaved scan covers ceil(ceil(dim*samp/max)/8) blocks
+    (T.81 A.2.2), which is less than the MCU-padded grid whenever the
+    image dimension is not a multiple of the MCU size."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = (frame["w"] * c["h"] + hmax - 1) // hmax
+    ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _alloc_progressive_stores(frame):
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _render_progressive(frame, stores, qtables):
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    nat_blocks = []
+    for zz_store in stores:
+        nat = np.zeros_like(zz_store)
+        nat[:, ZIGZAG] = zz_store
+        nat_blocks.append(nat.reshape(-1, 8, 8))
+    return _render_planes(
+        frame["comps"], nat_blocks, qtables, frame["h"], frame["w"],
+        hmax, vmax, mcux, mcuy,
+    )
+
+
+def _decode_progressive_scan(b, pos, frame, scan, ss, se, ah, al,
+                             stores, huff_dc, huff_ac, restart_interval):
+    """One SOS of a progressive frame into the coefficient stores.
+    DC scans (ss == 0) may be interleaved (MCU order over the scan's
+    components); AC scans are single-component in block-raster order
+    over the component's REAL block grid. Returns the position after
+    the entropy stream."""
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "malformed progressive scan: Ss=0 requires Se=0 (T.81 G.1)"
+        )
+    if ss > 0 and len(scan) != 1:
+        raise ValueError(
+            "malformed progressive scan: AC scans are single-component"
+        )
+    if ah and ah != al + 1:
+        raise ValueError(
+            "malformed progressive scan: successive approximation "
+            f"requires Ah == Al + 1, got Ah={ah} Al={al}"
+        )
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    comps = frame["comps"]
+    idx = [comps.index(c) for c, _, _ in scan]
+    p1 = 1 << al
+
+    segs, end_pos = _entropy_segments(b, pos)
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    preds = [0] * len(scan)
+    eobrun = 0
+
+    def correct(coef, k):
+        # G.1.2.3: one correction bit per already-nonzero coefficient
+        if reader.read_bit() and (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else -p1
+
+    def ac_first_block(coef, ac_t):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = ac_t.decode(reader)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    eobrun -= 1  # this block ends the band now
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            coef[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine_block(coef, ac_t):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = ac_t.decode(reader)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break  # remaining coefs handled by the EOB path
+                    # ZRL: skip 16 zero-history coefficients
+                else:
+                    val = p1 if reader.read_bit() else -p1
+                while k <= se:
+                    if coef[k] != 0:
+                        correct(coef, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coef[k] != 0:
+                    correct(coef, k)
+                k += 1
+            eobrun -= 1
+
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        bh_act, bw_act = _actual_blocks(frame, scan[0][0])
+        units = bh_act * bw_act
+
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated at restart interval")
+            reader = _BitReader(segs[seg_i])
+            preds = [0] * len(scan)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for si, (c, td, _ta) in enumerate(scan):
+                store = stores[idx[si]]
+                stride = mcux * c["h"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * stride + mx * c["h"] + bx
+                        coef = store[bi]
+                        if ah == 0:
+                            size = huff_dc[td].decode(reader)
+                            if size:
+                                preds[si] += _extend(
+                                    reader.read_bits(size), size
+                                )
+                            coef[0] = preds[si] << al
+                        elif reader.read_bit():
+                            coef[0] |= p1
+        else:
+            c, td, ta = scan[0]
+            store = stores[idx[0]]
+            stride = mcux * c["h"]
+            bi = (u // bw_act) * stride + (u % bw_act)
+            coef = store[bi]
+            if ss == 0:
+                if ah == 0:
+                    size = huff_dc[td].decode(reader)
+                    if size:
+                        preds[0] += _extend(reader.read_bits(size), size)
+                    coef[0] = preds[0] << al
+                elif reader.read_bit():
+                    coef[0] |= p1
+            elif ah == 0:
+                ac_first_block(coef, huff_ac[ta])
+            else:
+                ac_refine_block(coef, huff_ac[ta])
+    return end_pos
+
+
+# --- progressive encoder ---------------------------------------------------
+
+
+def _optimal_huffman(freq: dict):
+    """(BITS, HUFFVAL) from symbol frequencies — T.81 Annex K.2 code
+    length counting (merge two least-frequent via 'others' chains) plus
+    the K.3 Adjust_BITS 16-bit limiter. Symbol 256 is the reserved
+    sentinel guaranteeing no real code is all 1-bits."""
+    f = [0] * 257
+    for s, n in freq.items():
+        f[s] = n
+    f[256] = 1
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, None
+        for i in range(257):
+            if f[i] and (v is None or f[i] <= v):
+                v, c1 = f[i], i
+        c2, v = -1, None
+        for i in range(257):
+            if f[i] and i != c1 and (v is None or f[i] <= v):
+                v, c2 = f[i], i
+        if c2 < 0:
+            break
+        f[c1] += f[c2]
+        f[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved sentinel's code
+    huffval = []
+    for size in range(1, 17):
+        for sym in range(256):
+            if codesize[sym] == size:
+                huffval.append(sym)
+    return bits[1:17], huffval
+
+
+class _FreqSink:
+    """Pass-1 sink: count Huffman symbols per table id (raw bits cost
+    nothing at table-build time)."""
+
+    def __init__(self):
+        self.freq = {}
+
+    def sym(self, tid, s):
+        t = self.freq.setdefault(tid, {})
+        t[s] = t.get(s, 0) + 1
+
+    def bits(self, v, n):
+        pass
+
+
+class _WriteSink:
+    """Pass-2 sink: emit through a _BitWriter with built code tables."""
+
+    def __init__(self, codes):
+        self.writer = _BitWriter()
+        self.codes = codes
+
+    def sym(self, tid, s):
+        code, length = self.codes[tid][s]
+        self.writer.write(code, length)
+
+    def bits(self, v, n):
+        if n:
+            self.writer.write(v, n)
+
+
+def _prog_dc_scan(sink, comp_q, scan_idx, hv, mcux, mcuy, tids, ah, al):
+    """Interleaved DC scan over all MCUs (padded grid, like baseline).
+    First pass (ah == 0) codes diffs of (DC >> al) — arithmetic shift,
+    matching the decoder's (pred << al) | refinement-bit rebuild;
+    refinement passes emit one raw bit per block."""
+    preds = [0] * len(scan_idx)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for si, ci in enumerate(scan_idx):
+            hi, vi = hv[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    dc = int(comp_q[ci][my * vi + by, mx * hi + bx, 0])
+                    if ah == 0:
+                        v = dc >> al
+                        size, bitsv = _mag_bits(v - preds[si])
+                        preds[si] = v
+                        sink.sym(tids[si], size)
+                        sink.bits(bitsv, size)
+                    else:
+                        sink.bits((dc >> al) & 1, 1)
+
+
+def _prog_ac_first_scan(sink, blocks, ss, se, al, tid):
+    """Single-component AC first scan (ah == 0): run/size symbols on
+    the point-transformed magnitudes plus EOBn run coding across
+    whole-zero bands."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            sink.sym(tid, nb << 4)
+            sink.bits(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            a = (v if v >= 0 else -v) >> al  # magnitude point transform
+            if a == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                sink.sym(tid, 0xF0)
+                r -= 16
+            size, bitsv = _mag_bits(a if v > 0 else -a)
+            sink.sym(tid, (r << 4) | size)
+            sink.bits(bitsv, size)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _prog_ac_refine_scan(sink, blocks, ss, se, al, tid):
+    """Single-component AC refinement (ah == al + 1): newly-nonzero
+    coefficients as (run, 1) symbols with a sign bit; already-nonzero
+    ones contribute buffered correction bits that ride behind the next
+    emitted symbol (or the pending EOBn) — T.81 fig. G.7 order, the
+    exact sequence _decode_progressive_scan's ac_refine_block reads."""
+    eobrun = 0
+    bebuf = []  # correction bits tied to the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun, bebuf
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            sink.sym(tid, nb << 4)
+            sink.bits(eobrun - (1 << nb), nb)
+            eobrun = 0
+        for bit in bebuf:
+            sink.bits(bit, 1)
+        bebuf = []
+
+    for blk in blocks:
+        absv = [((int(blk[k]) if blk[k] >= 0 else -int(blk[k])) >> al)
+                for k in range(ss, se + 1)]
+        eob = -1  # band index of the LAST newly-nonzero coefficient
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0
+        brbuf = []  # this block's correction bits since the last symbol
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush_eob()
+                sink.sym(tid, 0xF0)
+                for bit in brbuf:
+                    sink.bits(bit, 1)
+                brbuf = []
+                r -= 16
+            if a > 1:
+                brbuf.append(a & 1)
+                continue
+            flush_eob()
+            sink.sym(tid, (r << 4) | 1)
+            sink.bits(1 if int(blk[ss + i]) >= 0 else 0, 1)
+            for bit in brbuf:
+                sink.bits(bit, 1)
+            brbuf = []
+            r = 0
+        if r > 0 or brbuf:
+            eobrun += 1
+            bebuf.extend(brbuf)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+# libjpeg's standard 3-component scan script (jcparam.c order, public
+# spec knowledge): coarse DC + low-frequency luma first, then AC
+# refinement down to full precision. ("dc", comps, ah, al) /
+# ("ac", comp, ss, se, ah, al).
+_PROGRESSIVE_SCRIPT = [
+    ("dc", (0, 1, 2), 0, 1),
+    ("ac", 0, 1, 5, 0, 2),
+    ("ac", 1, 1, 63, 0, 1),
+    ("ac", 2, 1, 63, 0, 1),
+    ("ac", 0, 6, 63, 0, 2),
+    ("ac", 0, 1, 63, 2, 1),
+    ("dc", (0, 1, 2), 1, 0),
+    ("ac", 1, 1, 63, 1, 0),
+    ("ac", 2, 1, 63, 1, 0),
+    ("ac", 0, 1, 63, 1, 0),
+]
+
+
+def jpeg_encode_progressive(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes using the
+    standard 10-scan spectral-selection + successive-approximation
+    script, with per-scan OPTIMAL Huffman tables (Annex K tables lack
+    the EOBn symbols progressive needs, so tables are built from the
+    scan's own symbol counts — two passes per scan). Quantizes through
+    the same _quantize_image as jpeg_encode: decoding the progressive
+    stream yields bit-identical pixels to decoding the baseline stream
+    of the same (arr, quality, subsampling). Deterministic."""
+    h, w = arr.shape[:2]
+    comp_q, qy, qc, hs, vs = _quantize_image(arr, quality, subsampling)
+    hv = [(hs, vs), (1, 1), (1, 1)]
+    mcuy, mcux = comp_q[1].shape[0], comp_q[1].shape[1]
+    frame = {"h": h, "w": w, "comps": [
+        {"id": i + 1, "h": hvi[0], "v": hvi[1], "tq": 0 if i == 0 else 1}
+        for i, hvi in enumerate(hv)
+    ]}
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16)
+    out += b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in ((0, qy), (1, qc)):
+        zz = qt.reshape(64)[ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz.tobytes()
+    out += b"\xff\xc2" + struct.pack(">H", 17) + bytes([8])
+    out += struct.pack(">HH", h, w) + bytes([3])
+    for i, (hi, vi) in enumerate(hv):
+        out += bytes([i + 1, (hi << 4) | vi, 0 if i == 0 else 1])
+
+    for spec in _PROGRESSIVE_SCRIPT:
+        if spec[0] == "dc":
+            _, comps_in, ah, al = spec
+            tids = [0 if ci == 0 else 1 for ci in comps_in]
+
+            def run(sink):
+                _prog_dc_scan(sink, comp_q, comps_in, hv, mcux, mcuy,
+                              tids, ah, al)
+
+            scan_comps = [(ci, tids[i], 0) for i, ci in enumerate(comps_in)]
+            tc = 0x00  # DC-class DHT slots
+            used_tids = sorted(set(tids)) if ah == 0 else []
+        else:
+            _, ci, ss, se, ah, al = spec
+            bh_act, bw_act = _actual_blocks(frame, frame["comps"][ci])
+            stride_blocks = [
+                comp_q[ci][r, c]
+                for r in range(bh_act)
+                for c in range(bw_act)
+            ]
+            enc = _prog_ac_first_scan if ah == 0 else _prog_ac_refine_scan
+
+            def run(sink, _enc=enc, _blocks=stride_blocks, _ss=ss,
+                    _se=se, _al=al):
+                _enc(sink, _blocks, _ss, _se, _al, 0)
+
+            scan_comps = [(ci, 0, 0)]
+            tc = 0x10  # AC-class DHT slot 0
+            used_tids = [0]
+
+        counter = _FreqSink()
+        run(counter)
+        codes = {}
+        for tid in used_tids:
+            bits, vals = _optimal_huffman(counter.freq.get(tid, {0: 1}))
+            codes[tid] = _build_codes(bits, vals)
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([tc | tid]) + bytes(bits) + bytes(vals)
+        writer_sink = _WriteSink(codes)
+        run(writer_sink)
+        writer_sink.writer.flush()
+
+        out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(scan_comps))
+        out += bytes([len(scan_comps)])
+        for ci, td, ta in scan_comps:
+            out += bytes([ci + 1, (td << 4) | ta])
+        if spec[0] == "dc":
+            out += bytes([0, 0, (ah << 4) | al])
+        else:
+            out += bytes([spec[2], spec[3], (ah << 4) | al])
+        out += writer_sink.writer.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
