@@ -308,6 +308,16 @@ def decode_image(b: bytes) -> np.ndarray:
         from vtshaver_spark.functions.gif_tiff import tiff_decode
 
         return tiff_decode(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        if b[12:16] == b"VP8L":
+            from vtshaver_spark.functions.webp import webp_decode
+
+            return webp_decode(b)[..., :3]
+        if not HAS_PIL:
+            raise NotImplementedError(
+                f"WebP chunk {bytes(b[12:16])!r} (lossy VP8 / extended "
+                "VP8X need a VP8 decoder) and PIL is unavailable"
+            )
     if HAS_PIL:
         import io
 
@@ -315,8 +325,8 @@ def decode_image(b: bytes) -> np.ndarray:
 
         return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
     raise NotImplementedError(
-        "unrecognized image format (not RAWI/PNG/JPEG/GIF/TIFF — e.g. "
-        "WebP needs a VP8 decoder) and PIL is unavailable"
+        "unrecognized image format (not RAWI/PNG/JPEG/GIF/TIFF/"
+        "WebP-lossless) and PIL is unavailable"
     )
 
 

@@ -271,7 +271,8 @@ def resize_images(
             pdf = pdf.copy()
             def _resized(b):
                 # format-preserving: PNG in -> PNG out, JPEG in ->
-                # JPEG out, else RAWI
+                # JPEG out, WebP-lossless in -> WebP-lossless out,
+                # else RAWI
                 arr = resize_nearest(decode_image(b), out_w, out_h)
                 if bytes(b[:8]) == PNG_MAGIC:
                     return png_encode(arr)
@@ -279,6 +280,11 @@ def resize_images(
                     from vtshaver_spark.functions.jpeg import jpeg_encode
 
                     return jpeg_encode(arr, quality=jpeg_quality)
+                if bytes(b[:4]) == b"RIFF" and bytes(b[8:12]) == b"WEBP" \
+                        and bytes(b[12:16]) == b"VP8L":
+                    from vtshaver_spark.functions.webp import webp_encode
+
+                    return webp_encode(arr)
                 return rawi_encode(arr)
 
             pdf[bytes_col] = [_resized(b) for b in pdf[bytes_col]]
