@@ -40,6 +40,18 @@ def numpy_topk(k=5):
     return out
 
 
+def test_cosine_topk_empty_query_set(spark, vectors):
+    """An empty query set is a valid input (e.g. a filtered-out batch):
+    the exact answer is the empty result with the normal output schema,
+    not an IndexError on q_unit.shape[1]."""
+    empty_q = spark.createDataFrame(
+        [], "query_id long, embedding array<double>"
+    )
+    out = cosine_topk(vectors, empty_q, k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "cos", "rank"}
+
+
 def test_cosine_topk_matches_numpy(spark, vectors, queries):
     golden = numpy_topk(5)
     out = cosine_topk(vectors.filter(F.col("vec_id") >= 5), queries, k=5).collect()

@@ -63,6 +63,32 @@ def test_bloom_anti_join_exact_under_forced_collisions(spark):
     assert out.columns == ["doc_id", "text"]
 
 
+def test_bloom_anti_join_zero_hint_still_dedups(spark):
+    """expected_items=0 (a plausible 'unknown size' sentinel) is a
+    sizing hint, not a switch: with a NON-empty reference it must fall
+    back to counting and still remove duplicates — returning ``big``
+    unchanged here would silently skip dedup."""
+    ref = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(20)], "doc_id long, text string"
+    )
+    big = spark.createDataFrame(
+        [(100 + i, f"text-{i}") for i in range(10)]
+        + [(200 + i, f"fresh-{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    for hint in (0, -1):
+        out = bloom_anti_join(
+            big, ref, lambda: F.md5(F.col("text")), expected_items=hint
+        )
+        assert sorted(r["doc_id"] for r in out.collect()) == [
+            200 + i for i in range(5)
+        ]
+    # an actually-empty reference is the only short-circuit
+    empty_ref = spark.createDataFrame([], "doc_id long, text string")
+    out = bloom_anti_join(big, empty_ref, lambda: F.md5(F.col("text")))
+    assert out.count() == big.count()
+
+
 def test_bloom_anti_join_normal_sizing_matches_plain_anti(spark):
     ref = spark.createDataFrame(
         [(i, f"doc {i} body") for i in range(0, 300, 3)],
