@@ -124,8 +124,24 @@ def synth_gradient_image(seed: int, w: int, h: int) -> np.ndarray:
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-# color type -> samples per pixel (bit depth 8 only)
+# color type -> samples per pixel
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# color type -> legal bit depths (RFC 2083 §4.1.1); sub-byte depths
+# exist only for grayscale and palette images
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -220,13 +236,47 @@ def png_encode(arr: np.ndarray, filter_type: int = 0, level: int = 6) -> bytes:
     )
 
 
+def _png_unfilter_pass(raw, pos, w, h, depth, ch):
+    """Unfilter one (sub)image of ``h`` scanlines starting at byte
+    ``pos`` of the decompressed stream and expand it to 8-bit samples
+    (h, w*ch). Sub-byte depths unpack MSB-first and grayscale-scale
+    (255/(2^d - 1)); palette indices stay raw; 16-bit reduces to the
+    high byte. Returns (samples, next_pos)."""
+    rowbytes = (w * ch * depth + 7) >> 3
+    bpp = max(1, (depth * ch) >> 3)
+    need = (1 + rowbytes) * h
+    if pos + need > raw.size:
+        raise ValueError("PNG pixel data size mismatch")
+    rows = raw[pos:pos + need].reshape(h, 1 + rowbytes)
+    out = np.empty((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
+    for y in range(h):
+        prev = _png_unfilter_row(int(rows[y, 0]), rows[y, 1:], prev, bpp)
+        out[y] = prev
+    if depth == 8:
+        samples = out
+    elif depth == 16:
+        samples = out.reshape(h, rowbytes >> 1, 2)[:, :, 0]
+    else:  # 1 / 2 / 4: MSB-first packed samples
+        bits = np.unpackbits(out, axis=1)[:, : w * ch * depth]
+        vals = bits.reshape(h, w * ch, depth)
+        # raw sample values; grayscale range-scaling happens in the
+        # caller (palette indices must stay raw)
+        samples = np.zeros((h, w * ch), dtype=np.uint8)
+        for i in range(depth):
+            samples = (samples << 1) | vals[:, :, i]
+    return np.ascontiguousarray(samples), pos + need
+
+
 def png_decode(b: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8 RGB. Pure stdlib+numpy: supports
-    bit depth 8, color types 0/2/3/4/6 (gray, RGB, palette, gray+A,
-    RGBA — alpha dropped, gray broadcast, palette resolved via PLTE),
-    all five scanline filters, non-interlaced only. Chunk CRCs are
-    verified. Interlaced (Adam7) or non-8-bit images raise
-    NotImplementedError with the offending parameter named."""
+    every legal IHDR combination — color types 0/2/3/4/6 (gray, RGB,
+    palette, gray+A, RGBA — alpha dropped, gray broadcast, palette
+    resolved via PLTE), bit depths 1/2/4/8/16 (sub-byte gray scaled to
+    full range, 16-bit reduced to the high byte), all five scanline
+    filters, and both interlace methods (Adam7 passes each unfilter as
+    their own sub-image, then scatter into the pass grid). Chunk CRCs
+    are verified."""
     b = bytes(b)
     if b[:8] != PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
@@ -253,27 +303,35 @@ def png_decode(b: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
+    if depth not in _PNG_DEPTHS[color]:
+        raise ValueError(f"PNG bit depth {depth} illegal for color type {color}")
     if comp != 0 or filt != 0:
         raise ValueError("bad PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     ch = _PNG_CHANNELS[color]
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = 1 + w * ch
-    if raw.size != stride * h:
+    if interlace == 0:
+        out, pos = _png_unfilter_pass(raw, 0, w, h, depth, ch)
+    else:  # Adam7: seven independently-filtered sub-images
+        out = np.zeros((h, w * ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass for small images
+            sub, pos = _png_unfilter_pass(raw, pos, pw, ph, depth, ch)
+            grid = out.reshape(h, w, ch)
+            grid[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)
+    if pos != raw.size:
         raise ValueError("PNG pixel data size mismatch")
-    rows = raw.reshape(h, stride)
-    out = np.empty((h, w * ch), dtype=np.uint8)
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    for y in range(h):
-        prev = _png_unfilter_row(int(rows[y, 0]), rows[y, 1:], prev, ch)
-        out[y] = prev
+    if depth < 8 and color == 0:
+        out = out * (255 // ((1 << depth) - 1))  # 1->255, 2->85, 4->17
     px = out.reshape(h, w, ch)
     if color == 2:
         return px
