@@ -201,9 +201,204 @@ def test_tiff_unsupported_named():
         off = ifd_off + 2 + i * 12
         (t,) = struct.unpack("<H", b[off:off + 2])
         if t == 259:
-            b[off + 8:off + 10] = struct.pack("<H", 5)  # LZW: unsupported
-    with pytest.raises(NotImplementedError, match="compression 5"):
+            b[off + 8:off + 10] = struct.pack("<H", 7)  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="compression 7"):
         tiff_decode(bytes(b))
+
+
+# --- hand-built fixtures: LZW / predictor / non-8-bit depths -------------
+
+
+def _tiff_build(w, h, bps, photo, payload, comp=1, predictor=None,
+                spp=1, endian="<", colormap=None):
+    """Minimal single-strip TIFF with arbitrary tag values; payload is
+    the raw (possibly compressed) strip bytes."""
+    e = endian
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, comp),
+        (262, 3, 1, photo), (277, 3, 1, spp), (278, 3, 1, h),
+        (279, 4, 1, len(payload)),
+    ]
+    if predictor is not None:
+        tags.append((317, 3, 1, predictor))
+    extra = b""
+    n_tags = len(tags) + 1 + (1 if spp > 1 or bps != 8 else 0) \
+        + (1 if colormap is not None else 0)
+    # recompute layout: header(8) + IFD + next-IFD(4), then out-of-line
+    # values, then the strip
+    ifd_bytes = 2 + n_tags * 12 + 4
+    extra_off = 8 + ifd_bytes
+    if spp > 1 or bps != 8:
+        if spp > 1:
+            bps_val = extra_off
+            extra += struct.pack(e + f"{spp}H", *([bps] * spp))
+        else:
+            bps_val = bps  # count 1 fits inline
+        tags.append((258, 3, spp, bps_val if spp > 1 else bps))
+    cmap_off = extra_off + len(extra)
+    if colormap is not None:
+        tags.append((320, 3, len(colormap), cmap_off))
+        extra += struct.pack(e + f"{len(colormap)}H", *colormap)
+    data_off = extra_off + len(extra)
+    tags.append((273, 4, 1, data_off))
+    tags.sort()
+    out = bytearray((b"II*\x00" if e == "<" else b"MM\x00*"))
+    out += struct.pack(e + "I", 8)
+    out += struct.pack(e + "H", len(tags))
+    for t, typ, cnt, val in tags:
+        if typ == 3 and cnt == 1:
+            out += struct.pack(e + "HHIHH", t, typ, cnt, val, 0)
+        else:
+            out += struct.pack(e + "HHII", t, typ, cnt, val)
+    out += struct.pack(e + "I", 0) + extra + payload
+    return bytes(out)
+
+
+def _lzw_tiff_encode(data: bytes) -> bytes:
+    """Test-side TIFF LZW compressor (MSB-first, 9-bit start, early
+    change at 2^width - 1) — independent of the decoder under test."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc, nbits = 0, 0
+
+    def put(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    put(CLEAR, width)
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur], width)
+        table[nxt] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1:
+            if width < 12:
+                width += 1
+            else:  # table full: clear and restart
+                put(CLEAR, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code, width = 258, 9
+        cur = bytes([byte])
+    if cur:
+        put(table[cur], width)
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_tiff_lzw_rgb_roundtrip():
+    rng = np.random.default_rng(5)
+    # runny data (exercises KwKwK + dictionary growth) + noise tail
+    arr = np.concatenate(
+        [np.repeat(_grad(16, 9, 5), 2, axis=1),
+         rng.integers(0, 256, (9, 8, 3)).astype(np.uint8)], axis=1)
+    h, w = arr.shape[:2]
+    payload = _lzw_tiff_encode(arr.tobytes())
+    out = tiff_decode(_tiff_build(w, h, 8, 2, payload, comp=5, spp=3))
+    assert (out == arr).all()
+
+
+def test_tiff_lzw_dictionary_reset():
+    # >4094 dictionary entries force a mid-stream CLEAR in the test
+    # encoder; the decoder must re-grow from 9 bits
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (40, 200, 3)).astype(np.uint8)
+    payload = _lzw_tiff_encode(arr.tobytes())
+    out = tiff_decode(_tiff_build(200, 40, 8, 2, payload, comp=5, spp=3))
+    assert (out == arr).all()
+
+
+def test_tiff_lzw_predictor2():
+    """LZW + horizontal differencing (the libtiff default pairing):
+    forward-difference per row per channel in the test, decoder must
+    integrate back."""
+    arr = _grad(21, 13, 40)
+    h, w = arr.shape[:2]
+    diff = arr.astype(np.int32)
+    diff[:, 1:] = (diff[:, 1:] - diff[:, :-1]) & 0xFF
+    payload = _lzw_tiff_encode(diff.astype(np.uint8).tobytes())
+    out = tiff_decode(
+        _tiff_build(w, h, 8, 2, payload, comp=5, predictor=2, spp=3))
+    assert (out == arr).all()
+
+
+@pytest.mark.parametrize("bps,scale", [(1, 255), (2, 85), (4, 17)])
+def test_tiff_subbyte_gray(bps, scale):
+    rng = np.random.default_rng(bps)
+    h, w = 7, 13
+    sam = rng.integers(0, 1 << bps, (h, w))
+    rows = bytearray()
+    for y in range(h):
+        bits = []
+        for v in sam[y]:
+            bits += [int(v) >> (bps - 1 - i) & 1 for i in range(bps)]
+        while len(bits) % 8:
+            bits.append(0)
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i:i + 8]:
+                byte = (byte << 1) | bit
+            rows.append(byte)
+    out = tiff_decode(_tiff_build(w, h, bps, 1, bytes(rows)))
+    assert (out[..., 0] == sam * scale).all()
+    # white-is-zero bilevel (the fax-scan convention)
+    inv = tiff_decode(_tiff_build(w, h, bps, 0, bytes(rows)))
+    assert (inv[..., 0] == 255 - sam * scale).all()
+
+
+def test_tiff_4bit_palette():
+    rng = np.random.default_rng(44)
+    h, w = 6, 9
+    idx = rng.integers(0, 16, (h, w))
+    rows = bytearray()
+    for y in range(h):
+        row = bytearray()
+        for x in range(0, w, 2):
+            hi = int(idx[y, x]) << 4
+            lo = int(idx[y, x + 1]) if x + 1 < w else 0
+            row.append(hi | lo)
+        rows += row
+    cmap16 = rng.integers(0, 65536, 3 * 16)
+    out = tiff_decode(
+        _tiff_build(w, h, 4, 3, bytes(rows), colormap=[int(v) for v in cmap16]))
+    table = (cmap16.reshape(3, 16).T // 257).astype(np.uint8)
+    assert (out == table[idx]).all()
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+def test_tiff_16bit_rgb_honors_byte_order(endian):
+    rng = np.random.default_rng(16)
+    h, w = 5, 7
+    sam = rng.integers(0, 65536, (h, w, 3))
+    payload = sam.astype("<u2" if endian == "<" else ">u2").tobytes()
+    out = tiff_decode(
+        _tiff_build(w, h, 16, 2, payload, spp=3, endian=endian))
+    assert (out == (sam >> 8)).all()
+
+
+def test_tiff_16bit_predictor2():
+    """Differencing happens at native 16-bit width (mod 65536) BEFORE
+    the high-byte reduction."""
+    rng = np.random.default_rng(61)
+    h, w = 5, 11
+    sam = rng.integers(0, 65536, (h, w, 3))
+    diff = sam.copy()
+    diff[:, 1:] = (diff[:, 1:] - diff[:, :-1]) & 0xFFFF
+    payload = diff.astype("<u2").tobytes()
+    out = tiff_decode(
+        _tiff_build(w, h, 16, 2, payload, spp=3, predictor=2))
+    assert (out == (sam >> 8)).all()
 
 
 def test_router_sniffs_gif_and_tiff():

@@ -292,8 +292,66 @@ def gif_encode(frames, loop: bool = True, delay_cs: int = 4) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# TIFF (baseline: 8-bit gray/RGB/palette, uncompressed / PackBits)
+# TIFF (gray/RGB/palette at 1/2/4/8/16 bits; none / PackBits / LZW;
+# horizontal-differencing predictor)
 # ---------------------------------------------------------------------------
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, 9-bit start,
+    ClearCode 256 / EOI 257, and the 'early change' — the code width
+    bumps one code EARLIER than GIF's LSB-first variant (at table size
+    2^width - 1). Independent of the GIF _lzw_decode above, which
+    differs in bit order, start width, and change point."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table = []
+    width = 9
+    prev = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("TIFF LZW: truncated code stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("TIFF LZW: first code after clear not literal")
+            if not table:
+                raise ValueError("TIFF LZW: code before initial clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"TIFF LZW: code {code} beyond table")
+        out += entry
+        # early change: the encoder bumps when ITS table reaches
+        # 2^width - 1; the decoder materializes entries one code later
+        # (it can't build the just-emitted code's entry until the next
+        # code arrives), so it must bump one entry earlier — at
+        # len(table) == 2^width - 2
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out[:expect])
+
 
 def _packbits_decode(data: bytes, expect: int) -> bytes:
     out = bytearray()
@@ -315,10 +373,14 @@ _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
 def tiff_decode(b: bytes) -> np.ndarray:
-    """First IFD of a baseline TIFF -> (h, w, 3) uint8 RGB. Both byte
-    orders; 8-bit gray (incl. white-is-zero), RGB(A), palette;
-    compression none (1) or PackBits (32773). Anything else raises
-    NotImplementedError naming the tag value."""
+    """First IFD of a TIFF -> (h, w, 3) uint8 RGB. Both byte orders;
+    gray (incl. white-is-zero bilevel scans), RGB(A), palette at
+    BitsPerSample 1/2/4/8/16 (sub-byte rows unpack MSB-first and
+    byte-align per row; 16-bit honors the file's byte order and
+    reduces to the high byte); compression none (1), LZW (5, with the
+    early-change rule) or PackBits (32773); horizontal-differencing
+    predictor (tag 317 = 2). Anything else raises NotImplementedError
+    naming the tag value."""
     b = bytes(b)
     if b[:4] not in TIFF_MAGICS:
         raise ValueError("not a TIFF (missing II*/MM* signature)")
@@ -359,33 +421,82 @@ def tiff_decode(b: bytes) -> np.ndarray:
     photo = one(262)
     spp = one(277, 1)
     bps = tags.get(258, (8,) * spp)
-    if any(int(x) != 8 for x in bps):
-        raise NotImplementedError(f"TIFF BitsPerSample {bps} (only 8 supported)")
+    bps0 = int(bps[0])
+    if any(int(x) != bps0 for x in bps):
+        raise NotImplementedError(f"TIFF heterogeneous BitsPerSample {bps}")
+    if bps0 not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad TIFF BitsPerSample {bps0}")
+    if bps0 < 8 and spp != 1:
+        raise NotImplementedError(
+            f"TIFF sub-byte BitsPerSample {bps0} with {spp} samples/pixel"
+        )
+    if photo == 3 and bps0 > 8:
+        raise NotImplementedError(
+            f"TIFF palette at BitsPerSample {bps0} (indices must be <= 8-bit)"
+        )
     if one(284, 1) != 1:
         raise NotImplementedError("TIFF planar (separated) configuration")
-    if comp not in (1, 32773):
-        raise NotImplementedError(f"TIFF compression {comp} (none/PackBits only)")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (none/LZW/PackBits only)"
+        )
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+    if predictor == 2 and bps0 < 8:
+        raise NotImplementedError("TIFF predictor 2 at sub-byte depth")
     rows_per_strip = one(278, h)
     offsets = [int(x) for x in tags[273]]
     counts = [int(x) for x in tags[279]]
 
+    rowbytes = (w * spp * bps0 + 7) >> 3  # rows are byte-aligned
     data = bytearray()
     row = 0
     for so, sc in zip(offsets, counts):
         nrows = min(rows_per_strip, h - row)
-        expect = nrows * w * spp
+        expect = nrows * rowbytes
         chunk = b[so:so + sc]
-        data += _packbits_decode(chunk, expect) if comp == 32773 else chunk[:expect]
+        if comp == 32773:
+            data += _packbits_decode(chunk, expect)
+        elif comp == 5:
+            data += _tiff_lzw_decode(chunk, expect)
+        else:
+            data += chunk[:expect]
         row += nrows
-    arr = np.frombuffer(bytes(data), dtype=np.uint8)
-    if arr.size < h * w * spp:
-        raise ValueError("TIFF strip data short of h*w*spp bytes")
-    arr = arr[: h * w * spp].reshape(h, w, spp)
+    raw = np.frombuffer(bytes(data), dtype=np.uint8)
+    if raw.size < h * rowbytes:
+        raise ValueError("TIFF strip data short of h*rowbytes bytes")
+    raw = raw[: h * rowbytes].reshape(h, rowbytes)
+
+    if bps0 == 8:
+        arr = raw.reshape(h, w, spp).astype(np.int32)
+    elif bps0 == 16:
+        dt = np.dtype("<u2" if lit else ">u2")
+        arr = (
+            np.frombuffer(raw.tobytes(), dtype=dt)
+            .reshape(h, w, spp)
+            .astype(np.int32)
+        )
+    else:  # 1 / 2 / 4: MSB-first packed, one sample per pixel
+        bits = np.unpackbits(raw, axis=1)[:, : w * bps0]
+        vals = bits.reshape(h, w, bps0).astype(np.int32)
+        arr = np.zeros((h, w, 1), dtype=np.int32)
+        for i in range(bps0):
+            arr[..., 0] = (arr[..., 0] << 1) | vals[..., i]
+    if predictor == 2:  # horizontal differencing, per channel
+        arr = np.cumsum(arr, axis=1) & ((1 << bps0) - 1)
+    if bps0 == 16:
+        arr = arr >> 8
+    arr = arr.astype(np.uint8) if bps0 >= 8 else arr
 
     if photo in (0, 1):  # gray (0 = white-is-zero)
         g = arr[..., 0]
+        full = 255 if bps0 >= 8 else (1 << bps0) - 1
+        if bps0 < 8:
+            g = g * (255 // full)
         if photo == 0:
-            g = 255 - g
+            g = (255 - g).astype(np.uint8)
+        g = g.astype(np.uint8)
         return np.repeat(g[..., None], 3, axis=2)
     if photo == 2:  # RGB(A) — alpha dropped
         if spp < 3:
