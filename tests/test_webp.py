@@ -142,6 +142,17 @@ def test_container_structure():
     assert r.read_bits(14) + 1 == 10
 
 
+def test_decode_pixel_cap_overridable():
+    """Corrupt 14-bit header dims can demand 16384^2 pixels from a
+    tiny stream (zero-bit codes consume no input) — the cap rejects
+    that by name; a caller with a real big image can raise it."""
+    arr = _grad(8, 8)
+    enc = webp_encode(arr)
+    with pytest.raises(ValueError, match="max_pixels"):
+        webp_decode(enc, max_pixels=16)
+    assert (webp_decode(enc, max_pixels=64)[..., :3] == arr).all()
+
+
 def test_decode_rejects_non_vp8l():
     with pytest.raises(ValueError, match="RIFF/WEBP"):
         webp_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)

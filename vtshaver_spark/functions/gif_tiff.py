@@ -39,6 +39,11 @@ TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 
 def _lzw_decode(min_code_size: int, data: bytes) -> list:
     """GIF variable-width LZW -> list of palette indices."""
+    # a corrupt stream can claim any byte here; an unbounded size makes
+    # the initial dictionary (1 << mcs entries) and the width ladder
+    # explode — fail fast instead (legal GIF range: 2..11, max width 12)
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"GIF LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
@@ -174,6 +179,13 @@ def gif_frames(b: bytes) -> list:
     if b[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF (missing GIF87a/GIF89a signature)")
     W, H = struct.unpack("<HH", b[6:10])
+    # decompression-bomb guard: the canvas allocates BEFORE any frame
+    # data is validated, so a corrupt 2-byte dimension field must not
+    # trigger a slow multi-hundred-MB first-touch fill (2^26 px
+    # ~= 200 MB RGB — an 8192x8192 canvas, far above any real
+    # animated GIF)
+    if W * H > (1 << 26):
+        raise ValueError(f"GIF logical screen {W}x{H} exceeds pixel cap")
     packed, bg_idx, _aspect = b[10], b[11], b[12]
     pos = 13
     gct = None

@@ -519,7 +519,13 @@ def jpeg_decode(b: bytes) -> np.ndarray:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                hi, vi = hv >> 4, hv & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    # T.81 B.2.2: Hi/Vi in 1..4 — a corrupt 0 divides
+                    # the MCU replication math by zero downstream
+                    raise ValueError(
+                        f"JPEG sampling factors {hi}x{vi} out of range")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
             frame = {"h": fh, "w": fw, "comps": comps,
                      "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -537,7 +543,13 @@ def jpeg_decode(b: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cs, t = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None)
+                if comp is None:
+                    # bare next() would leak StopIteration — deadly if
+                    # a caller ever wraps decode in a generator
+                    raise ValueError(
+                        f"JPEG scan references unknown component id {cs}")
                 scan.append((comp, t >> 4, t & 0xF))
             # entropy data follows the SOS segment until next marker
             data_start = pos + seglen

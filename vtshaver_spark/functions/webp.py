@@ -589,10 +589,17 @@ def _inv_color_transform(planes, elems, bits, w, h):
             b[y, x] = nb
 
 
-def webp_decode(data: bytes) -> np.ndarray:
+def webp_decode(data: bytes, max_pixels: int = 1 << 22) -> np.ndarray:
     """WebP bytes -> (h, w, 4) uint8 RGBA. Lossless (VP8L) decodes
     natively; lossy (VP8) and extended (VP8X) containers raise
-    NotImplementedError by name."""
+    NotImplementedError by name.
+
+    ``max_pixels`` (default 2^22 = a 2048x2048 image) bounds the
+    decode: the inverse-predictor pass is per-pixel Python, and VP8L's
+    zero-bit prefix codes let a FEW corrupt header bytes demand up to
+    16384^2 pixels from a tiny stream — a decompression bomb that
+    would otherwise spin for minutes. Raise it explicitly for
+    legitimately larger images."""
     data = bytes(data)
     if data[:4] != WEBP_RIFF or data[8:12] != WEBP_FOURCC:
         raise ValueError("not a WebP (missing RIFF/WEBP header)")
@@ -609,6 +616,11 @@ def webp_decode(data: bytes) -> np.ndarray:
     r = _LSBReader(payload[1:])
     w = r.read_bits(14) + 1
     h = r.read_bits(14) + 1
+    if w * h > max_pixels:
+        raise ValueError(
+            f"VP8L image {w}x{h} exceeds max_pixels={max_pixels} "
+            "(pass a larger max_pixels to webp_decode to override)"
+        )
     r.read_bit()  # alpha hint
     if r.read_bits(3) != 0:
         raise ValueError("VP8L: unknown version")
