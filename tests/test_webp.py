@@ -209,8 +209,8 @@ def test_decode_2d_neighborhood_distance():
 
     def body(wr):
         wr.write(0, 1)  # no transforms
+        wr.write(0, 1)  # no color cache (cache-info precedes meta bit)
         wr.write(0, 1)  # no meta prefix codes
-        wr.write(0, 1)  # no color cache
         gf = {}
         for p in row:
             gf[(p >> 8) & 0xFF] = gf.get((p >> 8) & 0xFF, 0) + 1
@@ -245,6 +245,7 @@ def test_decode_meta_prefix_groups():
 
     def body(wr):
         wr.write(0, 1)  # no transforms
+        wr.write(0, 1)  # top level: no color cache (precedes meta bit)
         wr.write(1, 1)  # meta prefix codes present
         wr.write(0, 3)  # meta_bits = 2 -> 4x4 tiles, 2x1 meta image
         wr.write(0, 1)  # meta substream: no color cache
@@ -255,7 +256,6 @@ def test_decode_meta_prefix_groups():
             _emit(wr, r, 0)
             _emit(wr, b, 0)
             _emit(wr, a, 255)
-        wr.write(0, 1)  # top level: no color cache
         groups = [
             _write_group(wr, ({lit: 1}, {lit: 1}, {lit: 1}, {255: 1}, {0: 1}))
             for lit in (0xAA, 0x55)

@@ -314,17 +314,36 @@ def png_decode(b: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     ch = _PNG_CHANNELS[color]
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    # decompression-bomb guards (same contract as the GIF canvas cap):
+    # corrupt IHDR dims must not drive a multi-GB canvas allocation,
+    # and IDAT must not inflate past the exact scanline budget — the
+    # expected size is computable from the header, so decompress with
+    # that bound instead of materializing unbounded output first
+    if w * h > (1 << 26):
+        raise ValueError(f"PNG {w}x{h} exceeds pixel cap")
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:
+        passes = []
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw > 0 and ph > 0:
+                passes.append((x0, y0, xs, ys, pw, ph))
+    expected = sum(
+        (1 + ((pw * ch * depth + 7) >> 3)) * ph
+        for _x0, _y0, _xs, _ys, pw, ph in passes
+    )
+    d = zlib.decompressobj()
+    raw = np.frombuffer(d.decompress(bytes(idat), expected + 1), dtype=np.uint8)
+    if raw.size != expected:
+        raise ValueError("PNG pixel data size mismatch")
     if interlace == 0:
         out, pos = _png_unfilter_pass(raw, 0, w, h, depth, ch)
     else:  # Adam7: seven independently-filtered sub-images
         out = np.zeros((h, w * ch), dtype=np.uint8)
         pos = 0
-        for x0, y0, xs, ys in _ADAM7:
-            pw = (w - x0 + xs - 1) // xs
-            ph = (h - y0 + ys - 1) // ys
-            if pw <= 0 or ph <= 0:
-                continue  # empty pass for small images
+        for x0, y0, xs, ys, pw, ph in passes:
             sub, pos = _png_unfilter_pass(raw, pos, pw, ph, depth, ch)
             grid = out.reshape(h, w, ch)
             grid[y0::ys, x0::xs] = sub.reshape(ph, pw, ch)

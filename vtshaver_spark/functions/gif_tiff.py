@@ -13,9 +13,10 @@ raster formats that are actually tractable without third-party libs:
    palette, uncompressed and PackBits strips; encode: single-strip
    uncompressed RGB little-endian.
 
-WebP stays PIL-gated in ``decode_image`` (a VP8 entropy decoder is a
-codec project of its own); the router raises NotImplementedError
-naming it, per the honest-capability-gate rule.
+Lossless WebP (VP8L) decodes natively via functions/webp.py; only
+lossy VP8 stays PIL-gated in ``decode_image`` (a VP8 entropy decoder
+is a codec project of its own) — the router raises
+NotImplementedError naming it, per the honest-capability-gate rule.
 
 Like every codec in this engine these run at the byte EDGES only —
 inside ``mapInPandas`` kernels after relational pruning (the reference
@@ -37,8 +38,13 @@ TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 # GIF
 # ---------------------------------------------------------------------------
 
-def _lzw_decode(min_code_size: int, data: bytes) -> list:
-    """GIF variable-width LZW -> list of palette indices."""
+def _lzw_decode(min_code_size: int, data: bytes,
+                expect: int | None = None) -> list:
+    """GIF variable-width LZW -> list of palette indices. ``expect``
+    bounds the output (a frame needs exactly w*h indices): without it
+    a crafted payload can expand to gigabytes of Python ints before
+    the caller's slice runs — the same bomb the TIFF variant already
+    bounds with its expect argument."""
     # a corrupt stream can claim any byte here; an unbounded size makes
     # the initial dictionary (1 << mcs entries) and the width ladder
     # explode — fail fast instead (legal GIF range: 2..11, max width 12)
@@ -66,7 +72,7 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list:
         bitpos += w
         return v
 
-    while True:
+    while expect is None or len(out) < expect:
         code = read_code(width)
         if code is None or code == end:
             break
@@ -232,7 +238,8 @@ def gif_frames(b: bytes) -> list:
         mcs = b[pos]
         pos += 1
         payload, pos = _gif_blocks(b, pos)
-        idx = np.array(_lzw_decode(mcs, payload)[: w * h], dtype=np.int32)
+        idx = np.array(
+            _lzw_decode(mcs, payload, expect=w * h)[: w * h], dtype=np.int32)
         if idx.size != w * h:
             raise ValueError("GIF LZW stream short of w*h pixels")
         idx = idx.reshape(h, w)

@@ -395,6 +395,15 @@ def _decode_substream(r: _LSBReader, w: int, h: int, top_level: bool):
     prefix-coded pixel stream. Returns a (h*w,) uint32 ARGB array and,
     for top-level, is wrapped by the transform handling in
     webp_decode."""
+    # wire order per RFC 9649 (and libwebp's DecodeImageStream →
+    # ReadHuffmanCodes): color-cache-info FIRST, then the meta-prefix
+    # bit — swapping them breaks interop with every real VP8L file
+    cache_bits = 0
+    if r.read_bit():
+        cache_bits = r.read_bits(4)
+        if not (1 <= cache_bits <= 11):
+            raise ValueError(f"VP8L: invalid color-cache bits {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
     meta = None
     meta_bits = 0
     num_groups = 1
@@ -405,12 +414,6 @@ def _decode_substream(r: _LSBReader, w: int, h: int, top_level: bool):
         meta_img = _decode_substream(r, tw, th, top_level=False)
         meta = [((int(p) >> 8) & 0xFFFF) for p in meta_img]
         num_groups = max(meta) + 1
-    cache_bits = 0
-    if r.read_bit():
-        cache_bits = r.read_bits(4)
-        if not (1 <= cache_bits <= 11):
-            raise ValueError(f"VP8L: invalid color-cache bits {cache_bits}")
-    cache_size = (1 << cache_bits) if cache_bits else 0
     green_alpha = 256 + 24 + cache_size
 
     groups = []
@@ -589,16 +592,17 @@ def _inv_color_transform(planes, elems, bits, w, h):
             b[y, x] = nb
 
 
-def webp_decode(data: bytes, max_pixels: int = 1 << 22) -> np.ndarray:
+def webp_decode(data: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
     """WebP bytes -> (h, w, 4) uint8 RGBA. Lossless (VP8L) decodes
     natively; lossy (VP8) and extended (VP8X) containers raise
     NotImplementedError by name.
 
-    ``max_pixels`` (default 2^22 = a 2048x2048 image) bounds the
-    decode: the inverse-predictor pass is per-pixel Python, and VP8L's
-    zero-bit prefix codes let a FEW corrupt header bytes demand up to
-    16384^2 pixels from a tiny stream — a decompression bomb that
-    would otherwise spin for minutes. Raise it explicitly for
+    ``max_pixels`` (default 2^24 = a 4096x4096 image, covering real
+    web imagery routed through decode_image) bounds the decode: the
+    inverse-predictor pass is per-pixel Python, and VP8L's zero-bit
+    prefix codes let a FEW corrupt header bytes demand up to 16384^2
+    pixels from a tiny stream — a decompression bomb that would
+    otherwise spin for many minutes. Raise it explicitly for
     legitimately larger images."""
     data = bytes(data)
     if data[:4] != WEBP_RIFF or data[8:12] != WEBP_FOURCC:
@@ -796,13 +800,15 @@ def _encode_substream(w_out: _LSBWriter, flat, cache_bits: int,
     meta-prefix-code bit (spec 5.2.1) — subresolution images (palette,
     predictor modes, color-transform elements) must not."""
     tokens, (gf, rf, bf, af, df) = _tokenize(flat, cache_bits, lz77)
-    if top_level:
-        w_out.write(0, 1)  # no meta prefix codes (encoder never needs them)
+    # wire order: color-cache-info FIRST, then (top level only) the
+    # meta-prefix bit — RFC 9649 / libwebp ReadHuffmanCodes order
     if cache_bits:
         w_out.write(1, 1)
         w_out.write(cache_bits, 4)
     else:
         w_out.write(0, 1)
+    if top_level:
+        w_out.write(0, 1)  # no meta prefix codes (encoder never needs them)
     cache_size = (1 << cache_bits) if cache_bits else 0
     # every alphabet needs at least one coded symbol for a valid code
     for f in (gf, rf, bf, af, df):
@@ -922,6 +928,10 @@ def webp_encode(
     copies, plain-coded distances). Deterministic."""
     h, w = arr.shape[:2]
     assert arr.dtype == np.uint8 and arr.ndim == 3
+    if w < 1 or h < 1 or w > 16384 or h > 16384:
+        # the header fields are 14-bit; silently writing (w-1) mod
+        # 16384 would emit a structurally valid file with wrong dims
+        raise ValueError(f"VP8L dimensions {w}x{h} outside 1..16384")
     if arr.shape[2] == 3:
         rgba = np.concatenate(
             [arr, np.full((h, w, 1), 255, np.uint8)], axis=2
