@@ -101,6 +101,15 @@ def test_gif_transparency_composites_previous_frame():
     assert (frames[1][mask] == a[mask]).all()
 
 
+def test_gif_mixed_frame_shapes_rejected():
+    # np.split divides the concatenated index stream equally — a
+    # mixed-shape list must fail loudly, not scramble frames
+    a = _grad(16, 16, 5)
+    b = _grad(8, 32, 5)
+    with pytest.raises(ValueError, match="frame 1 shape"):
+        gif_encode([a, b])
+
+
 def test_gif_too_many_colors_raises():
     rng = np.arange(20 * 20, dtype=np.uint32)
     arr = np.stack([rng % 256, (rng // 256) * 40 % 256, rng % 251], -1)

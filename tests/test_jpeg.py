@@ -161,6 +161,30 @@ def test_router_sniffs_jpeg():
     assert out.shape == arr.shape and psnr(arr, out) > 35.0
 
 
+def test_optimal_huffman_deep_tree_symbols_survive():
+    """A skewed geometric histogram drives raw Huffman depths past 16;
+    the K.3 BITS adjustment shortens the COUNTS, but HUFFVAL must still
+    enumerate symbols by pre-adjustment depth up to 32 (libjpeg
+    jpeg_gen_optimal_table) — truncating at 16 drops symbols and emits
+    sum(BITS) > len(HUFFVAL), an undecodable DHT."""
+    from vtshaver_spark.functions.jpeg import _optimal_huffman
+
+    bits, vals = _optimal_huffman({i: 2 ** i for i in range(22)})
+    assert sum(bits) == len(vals) == 22
+    assert sorted(vals) == list(range(22))
+    # random histograms: counts/symbols stay consistent, depth <= 16
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        n = int(rng.integers(1, 200))
+        freq = {int(s): int(f) for s, f in zip(
+            rng.choice(256, n, replace=False), rng.integers(1, 1 << 20, n))}
+        bits, vals = _optimal_huffman(freq)
+        assert sum(bits) == len(vals) == len(freq)
+        assert sorted(vals) == sorted(freq)
+
+
 def test_resize_preserves_jpeg(spark):
     from vtshaver_spark.operators.multimodal import resize_images
 

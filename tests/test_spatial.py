@@ -286,6 +286,32 @@ def test_pip_cell_join_concavity_and_holes(spark):
     assert got == {("in_fill", 1), ("chev_wing", 2)}
 
 
+def test_pip_cell_join_column_params(spark):
+    """lon/lat column names are parameters, and a missing point-side
+    column fails loudly up front instead of deep in the join."""
+    from vtshaver_spark.operators.pip import pip_cell_join
+
+    polys = spark.createDataFrame(
+        [(1, [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0],
+               [0.0, 0.0]]])],
+        "polygon_id long, rings array<array<array<double>>>",
+    )
+    pts = spark.createDataFrame(
+        [("a", 2.0, 2.0), ("b", 50.0, 50.0)],
+        "pid string, x_deg double, y_deg double",
+    )
+    got = {
+        r["pid"]
+        for r in pip_cell_join(
+            pts, polys, point_id="pid", lon_col="x_deg", lat_col="y_deg",
+            cell_zoom=4,
+        ).collect()
+    }
+    assert got == {"a"}
+    with pytest.raises(ValueError, match="missing"):
+        pip_cell_join(pts, polys, cell_zoom=4)  # default lon/lat absent
+
+
 def test_pip_cell_join_plan_is_hash_join(spark, points):
     """Plan contract: BroadcastHashJoin on the packed single-long cell
     key (LongHashedRelation fast path), never a nested-loop join; the

@@ -231,6 +231,14 @@ def test_compact_rewrites_fragmented_buckets(spark, tmp_path):
     assert t.compact() == v
 
 
+def test_with_retry_rejects_non_positive_attempts():
+    from vtshaver_spark.plans.table import with_retry
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_attempts"):
+        with_retry(lambda a: a, max_attempts=0)
+
+
 def test_with_retry_loser_replans_and_succeeds(spark, table, tmp_path):
     """with_retry around MERGE: a competing writer lands a commit
     between this writer's plan and publish (injected just before the

@@ -78,7 +78,13 @@ def assert_board(artifact_path: str) -> int:
 
 
 def main():
-    if len(sys.argv) > 2 and sys.argv[1] == "--assert-board":
+    if sys.argv[1:2] == ["--assert-board"]:
+        if len(sys.argv) != 3:
+            # without this, the bare flag falls through and boots a
+            # full Spark oracle run against a dir named --assert-board
+            print("usage: check_oracle.py --assert-board CORRECTNESS_rN.json",
+                  file=sys.stderr)
+            return 2
         return assert_board(sys.argv[2])
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])  # optional query-name filter

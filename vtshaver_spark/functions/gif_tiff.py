@@ -275,6 +275,15 @@ def gif_encode(frames, loop: bool = True, delay_cs: int = 4) -> bytes:
         frames = [frames]
     h, w, c = frames[0].shape
     assert c == 3
+    # every frame shares the canvas: np.split below divides the
+    # concatenated index stream into EQUAL parts, so a mixed-shape
+    # list would silently scramble frames whenever the total happens
+    # to divide evenly
+    for i, f in enumerate(frames[1:], 1):
+        if f.shape != (h, w, 3):
+            raise ValueError(
+                f"GIF frame {i} shape {f.shape} != frame 0 {(h, w, 3)}"
+            )
     stack = np.concatenate([f.reshape(-1, 3) for f in frames], axis=0)
     palette, inverse = np.unique(stack, axis=0, return_inverse=True)
     if len(palette) > 256:

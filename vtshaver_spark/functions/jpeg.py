@@ -464,9 +464,10 @@ JPEG_MAGIC = b"\xff\xd8"
 
 
 def jpeg_decode(b: bytes) -> np.ndarray:
-    """Baseline JFIF/EXIF bytes -> (h, w, 3) uint8 RGB (grayscale
-    broadcast to 3 channels). Progressive/arithmetic/12-bit raise
-    NotImplementedError naming the unsupported mode."""
+    """Baseline-sequential (SOF0/SOF1) or progressive (SOF2) JFIF/EXIF
+    bytes -> (h, w, 3) uint8 RGB (grayscale broadcast to 3 channels).
+    Arithmetic-coded / hierarchical / 12-bit modes raise
+    NotImplementedError naming the unsupported SOF."""
     b = bytes(b)
     if b[:2] != JPEG_MAGIC:
         raise ValueError("not a JPEG (missing SOI)")
@@ -955,7 +956,13 @@ def _optimal_huffman(freq: dict):
         i -= 1
     bits[i] -= 1  # drop the reserved sentinel's code
     huffval = []
-    for size in range(1, 17):
+    # symbols sorted by their PRE-adjustment code size, scanned to the
+    # full depth 32 (libjpeg jpeg_gen_optimal_table does the same): the
+    # K.3 loop above only rebalanced the per-length COUNTS, so a symbol
+    # whose raw Huffman depth exceeded 16 still needs its slot in
+    # HUFFVAL — stopping at 16 drops it and emits sum(BITS) >
+    # len(HUFFVAL), an undecodable DHT
+    for size in range(1, 33):
         for sym in range(256):
             if codesize[sym] == size:
                 huffval.append(sym)

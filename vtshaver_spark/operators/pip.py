@@ -129,6 +129,8 @@ def pip_cell_join(
     point_id: str = "image_id",
     poly_id: str = "polygon_id",
     rings_col: str = "rings",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
     cell_zoom: int = 5,
 ) -> DataFrame:
     """General-polygon PIP with the SAME physical shape as
@@ -137,7 +139,9 @@ def pip_cell_join(
     stays a DataFrame end-to-end, so it can be any dimension-sized
     table (admin boundaries, style extents) without a guarded collect.
 
-    ``polygons``: (poly_id, rings) where rings is
+    ``points``: must carry ``point_id``, ``lon_col`` and ``lat_col``
+    (validated up front — every point column rides through to the
+    output). ``polygons``: (poly_id, rings) where rings is
     ``array<array<array<double>>>`` — closed [[lon,lat],...] rings,
     ring 0 the exterior, the rest holes (even-odd).
 
@@ -159,6 +163,11 @@ def pip_cell_join(
          pruning is O(points in polygon bboxes), the same residual
          work ``pip_rect_join`` does in its range filter.
     """
+    missing = [c for c in (point_id, lon_col, lat_col)
+               if c not in points.columns]
+    if missing:
+        raise ValueError(f"pip_cell_join: points side missing {missing}")
+
     from vtshaver_spark.functions.geo import tile_x, tile_y
 
     def packed(cx, cy):
@@ -204,16 +213,16 @@ def pip_cell_join(
     )
     r = F.broadcast(cover)
     p = points.withColumn(
-        "_ck", packed(tile_x("lon", cell_zoom), tile_y("lat", cell_zoom))
+        "_ck", packed(tile_x(lon_col, cell_zoom), tile_y(lat_col, cell_zoom))
     )
     cond = (
         (p["_ck"] == r["_ck"])
         # closed bbox: never excludes a boundary point the exact
         # ray-cast would admit
-        & (p["lon"] >= r["lon_min"])
-        & (p["lon"] <= r["lon_max"])
-        & (p["lat"] >= r["lat_min"])
-        & (p["lat"] <= r["lat_max"])
+        & (p[lon_col] >= r["lon_min"])
+        & (p[lon_col] <= r["lon_max"])
+        & (p[lat_col] >= r["lat_min"])
+        & (p[lat_col] <= r["lat_max"])
     )
     cand = (
         p.join(r, cond)
@@ -235,8 +244,8 @@ def pip_cell_join(
                     np.array([list(v) for v in ring], dtype=np.float64)
                     for ring in grp[rings_col].iloc[0]
                 ]
-                px = grp["lon"].to_numpy(dtype=np.float64)
-                py = grp["lat"].to_numpy(dtype=np.float64)
+                px = grp[lon_col].to_numpy(dtype=np.float64)
+                py = grp[lat_col].to_numpy(dtype=np.float64)
                 inside = np.zeros(px.shape[0], dtype=bool)
                 for ring in rings:  # even-odd XOR across all rings
                     inside ^= _ray_cast_parity(px, py, ring)

@@ -63,6 +63,10 @@ def with_retry(commit_fn, max_attempts: int = 5):
     ``max_attempts`` losses the last ``ConcurrentCommitError`` is
     re-raised.
     """
+    if max_attempts < 1:
+        # `raise last` with last=None would surface as an opaque
+        # "exceptions must derive from BaseException" TypeError
+        raise ValueError(f"with_retry needs max_attempts >= 1, got {max_attempts}")
     last: Optional[ConcurrentCommitError] = None
     for attempt in range(max_attempts):
         try:

@@ -114,8 +114,12 @@ FROM (
 
 # One row per geometry VERTEX of each feature (the full-geometry
 # ``within`` input shape — operators/within.py). Vertex counts follow
-# the MVT geometry model (Point=1; LineString 2-5; ring-ish 4 for the
-# rest); positions are integer arithmetic on (feature_id, vertex_idx),
+# the MVT geometry model (Point=1; LineString 2-5; 4-vertex rings for
+# Polygon, emitted CLOSED — vertex 4 repeats vertex 0, the ClosePath
+# convention within.py's lead() segments require so the v3->v0 edge
+# participates in crossing parity and segment distance; 'Unknown'
+# stays 4 open vertices, it never reaches geometry evaluation);
+# positions are integer arithmetic on (feature_id, vertex_idx),
 # exact in IEEE doubles on both engines. Features with feature_id%10=9
 # take long diagonal strides around lat 37-39 so some LINES cross the
 # geofence hole (or land inside it) — the boundary-crossing cases the
@@ -128,20 +132,25 @@ SELECT
   CAST(n.n_nationkey AS INT) AS vertex_idx,
   CASE WHEN f.feature_id % 10 = 9
        THEN -124.2 + CAST(f.feature_id * 48271 % 2400000 AS DOUBLE) / 1000000.0
-            + CAST(n.n_nationkey AS DOUBLE) * 1.1
+            + CAST(CASE WHEN f.geom_type = 'Polygon' AND n.n_nationkey = 4
+                        THEN 0 ELSE n.n_nationkey END AS DOUBLE) * 1.1
        ELSE -126.0 + CAST(f.feature_id * 48271 % 8000000 AS DOUBLE) / 1000000.0
-            + CAST(n.n_nationkey AS DOUBLE) * 0.02
+            + CAST(CASE WHEN f.geom_type = 'Polygon' AND n.n_nationkey = 4
+                        THEN 0 ELSE n.n_nationkey END AS DOUBLE) * 0.02
   END AS lon,
   CASE WHEN f.feature_id % 10 = 9
        THEN 36.6 + CAST(f.feature_id * 69621 % 2400000 AS DOUBLE) / 1000000.0
-            + CAST(n.n_nationkey AS DOUBLE) * 0.05
+            + CAST(CASE WHEN f.geom_type = 'Polygon' AND n.n_nationkey = 4
+                        THEN 0 ELSE n.n_nationkey END AS DOUBLE) * 0.05
        ELSE 30.5 + CAST(f.feature_id * 69621 % 14600000 AS DOUBLE) / 1000000.0
-            + CAST(n.n_nationkey AS DOUBLE) * 0.015
+            + CAST(CASE WHEN f.geom_type = 'Polygon' AND n.n_nationkey = 4
+                        THEN 0 ELSE n.n_nationkey END AS DOUBLE) * 0.015
   END AS lat
 FROM features_v f
 JOIN nation n
   ON n.n_nationkey < CASE WHEN f.geom_type = 'Point' THEN 1
                           WHEN f.geom_type = 'LineString' THEN 2 + f.feature_id % 4
+                          WHEN f.geom_type = 'Polygon' THEN 5
                           ELSE 4 END
 """
 

@@ -287,11 +287,20 @@ def sessionize_replay(
             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
             .start()
         )
-        finished = q.awaitTermination(timeout=300)
-        if not finished or q.exception() is not None:
-            raise RuntimeError(
-                f"sessionize replay did not drain: {q.exception()}"
-            )
+        try:
+            finished = q.awaitTermination(timeout=300)
+            if not finished or q.exception() is not None:
+                raise RuntimeError(
+                    f"sessionize replay did not drain: {q.exception()}"
+                )
+        except BaseException:
+            # stop BEFORE the finally rmtree deletes the source and
+            # checkpoint out from under a still-active stream — an
+            # orphaned query erroring in the background would pollute
+            # the shared session for subsequent driver-board queries
+            q.stop()
+            spark.catalog.dropTempView(name)
+            raise
         return spark.table(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
