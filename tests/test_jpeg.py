@@ -185,6 +185,77 @@ def test_optimal_huffman_deep_tree_symbols_survive():
         assert sorted(vals) == sorted(freq)
 
 
+def _three_scan_sequential(arr, quality, subsampling):
+    """Spec-valid T.81 A.2.2 sequential file: same headers as the
+    interleaved encoder, but THREE Ns=1 scans, each walking its
+    component's actual (non-MCU-padded) block grid in raster order."""
+    import struct
+
+    from vtshaver_spark.functions import jpeg as J
+
+    base = J.jpeg_encode(arr, quality, subsampling=subsampling)
+    head = base[: base.index(b"\xff\xda")]
+    h, w = arr.shape[:2]
+    comp_q, _qy, _qc, hs, vs = J._quantize_image(arr, quality, subsampling)
+    dc_y = J._build_codes(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac_y = J._build_codes(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    dc_c = J._build_codes(J.DC_CHROMA_BITS, J.DC_CHROMA_VALS)
+    ac_c = J._build_codes(J.AC_CHROMA_BITS, J.AC_CHROMA_VALS)
+    tabs = [(dc_y, ac_y, 0x00), (dc_c, ac_c, 0x11), (dc_c, ac_c, 0x11)]
+    dims = [(h, w), (-(-h // vs), -(-w // hs)), (-(-h // vs), -(-w // hs))]
+    out = bytearray(head)
+    for ci in range(3):
+        dcc, acc, tdta = tabs[ci]
+        out += b"\xff\xda" + struct.pack(">H", 8)
+        out += bytes([1, ci + 1, tdta, 0, 63, 0])
+        ch, cw = dims[ci]
+        bh_act, bw_act = -(-ch // 8), -(-cw // 8)
+        wr = J._BitWriter()
+        pred = 0
+        for by in range(bh_act):
+            for bx in range(bw_act):
+                pred = J._encode_one_block(
+                    wr, comp_q[ci][by, bx], pred, dcc, acc)
+        wr.flush()
+        out += wr.out
+    out += b"\xff\xd9"
+    return base, bytes(out)
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+def test_non_interleaved_sequential_scans(subsampling):
+    """Ns=1 baseline scans are NON-interleaved: data units traverse the
+    component's own ceil(dim/8) grid (no MCU padding — discriminating
+    at 4:2:0 with an odd luma block count, where the old MCU walk
+    desyncs), and a file splitting components across scans must
+    accumulate all three, not keep only the last."""
+    arr = _smooth(24, 24)  # 3 luma blocks/side: odd, not MCU-padded 4
+    base, split = _three_scan_sequential(arr, 90, subsampling)
+    assert np.array_equal(jpeg_decode(split), jpeg_decode(base))
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+    fill bytes — cameras legally pad with them."""
+    arr = _smooth(32, 24)
+    enc = jpeg_encode(arr, 90)
+    i = enc.index(b"\xff\xc0")
+    padded = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    assert np.array_equal(jpeg_decode(padded), jpeg_decode(enc))
+
+
+def test_bitwriter_drains_accumulator():
+    """The writer must drop drained bits: keeping the whole bit history
+    in acc re-shifts it on every write, turning encode quadratic in
+    output size (measured 9.4 s for a 256px square)."""
+    from vtshaver_spark.functions.jpeg import _BitWriter
+
+    wr = _BitWriter()
+    for i in range(10000):
+        wr.write(i & 0x3F, 7)
+    assert wr.acc.bit_length() <= 8
+
+
 def test_resize_preserves_jpeg(spark):
     from vtshaver_spark.operators.multimodal import resize_images
 

@@ -284,6 +284,10 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # drop drained bits: an ever-growing acc re-shifts the whole
+        # bit history on every write, turning encode quadratic in
+        # output size (measured 9.4 s for a 256px square before this)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:
@@ -477,12 +481,18 @@ def jpeg_decode(b: bytes) -> np.ndarray:
     huff_ac: dict = {}
     frame = None
     restart_interval = 0
-    rgb = None
-    prog_stores = None  # progressive: zigzag coef accumulators per comp
+    prog_stores = None  # zigzag coef accumulators per frame component
+    # (shared by sequential and progressive scans: T.81 A.2.2 allows a
+    # sequential frame to split components across Ns=1 scans, so pixels
+    # can only render once every scan has landed)
 
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — cameras/encoders legally pad with them
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -563,19 +573,17 @@ def jpeg_decode(b: bytes) -> np.ndarray:
                     prog_stores, huff_dc, huff_ac, restart_interval,
                 )
             else:
-                rgb, pos = _decode_scan(
-                    b, data_start, frame, scan, qtables, huff_dc, huff_ac,
-                    restart_interval,
+                if prog_stores is None:
+                    prog_stores = _alloc_progressive_stores(frame)
+                pos = _decode_sequential_scan(
+                    b, data_start, frame, scan, huff_dc, huff_ac,
+                    restart_interval, prog_stores,
                 )
             continue
         pos += seglen
-    if frame is not None and frame["progressive"]:
-        if prog_stores is None:
-            raise ValueError("JPEG contains no decoded scan")
-        rgb = _render_progressive(frame, prog_stores, qtables)
-    if rgb is None:
+    if prog_stores is None:
         raise ValueError("JPEG contains no decoded scan")
-    return rgb
+    return _render_progressive(frame, prog_stores, qtables)
 
 
 def _entropy_segments(b: bytes, pos: int):
@@ -603,72 +611,75 @@ def _entropy_segments(b: bytes, pos: int):
     return segs, pos
 
 
-def _decode_scan(b, pos, frame, scan, qtables, huff_dc, huff_ac,
-                 restart_interval):
-    h, w = frame["h"], frame["w"]
-    comps = [s[0] for s in scan]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    n_mcu = mcux * mcuy
-
-    # per-component quantized coefficient store (zigzag-free, 8x8)
-    store = []
-    for c, _, _ in scan:
-        bw, bh = mcux * c["h"], mcuy * c["v"]
-        store.append(np.zeros((bh * bw, 8, 8), dtype=np.int32))
+def _decode_sequential_scan(b, pos, frame, scan, huff_dc, huff_ac,
+                            restart_interval, stores):
+    """One baseline-sequential (SOF0/SOF1) scan into the shared zigzag
+    coefficient stores. Interleaved (Ns > 1) scans walk MCUs over the
+    FRAME sampling maxima; an Ns = 1 scan is NON-interleaved per T.81
+    A.2.2 — data units traverse the component's own ceil(comp_dim/8)
+    block grid in raster order (no MCU padding), and restart intervals
+    count data units. Scan-local maxima would desync any file whose
+    single-component scan keeps Hi/Vi > 1, and per-scan rendering
+    would drop all but the last scan of a split-component file."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(frame)
+    comps = frame["comps"]
+    idx = [comps.index(c) for c, _, _ in scan]
 
     segs, end_pos = _entropy_segments(b, pos)
     seg_i = 0
     reader = _BitReader(segs[0])
     preds = [0] * len(scan)
-    zz = ZIGZAG
 
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
+    def block(coef, td, ta, si):
+        size = huff_dc[td].decode(reader)
+        if size:
+            preds[si] += _extend(reader.read_bits(size), size)
+        coef[0] = preds[si]
+        k = 1
+        while k < 64:
+            rs = huff_ac[ta].decode(reader)
+            r, v = rs >> 4, rs & 0xF
+            if v == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC index overflow")
+            coef[k] = _extend(reader.read_bits(v), v)
+            k += 1
+
+    interleaved = len(scan) > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        bh_act, bw_act = _actual_blocks(frame, scan[0][0])
+        units = bh_act * bw_act
+
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
             seg_i += 1
             if seg_i >= len(segs):
                 raise ValueError("JPEG truncated at restart interval")
             reader = _BitReader(segs[seg_i])
             preds = [0] * len(scan)
-        my, mx = divmod(m, mcux)
-        for ci, (c, td, ta) in enumerate(scan):
-            dc_t, ac_t = huff_dc[td], huff_ac[ta]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    coef = np.zeros(64, dtype=np.int32)
-                    size = dc_t.decode(reader)
-                    if size:
-                        preds[ci] += _extend(reader.read_bits(size), size)
-                    coef[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = ac_t.decode(reader)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC index overflow")
-                        coef[k] = _extend(reader.read_bits(s), s)
-                        k += 1
-                    blk = np.zeros(64, dtype=np.int32)
-                    blk[zz] = coef
-                    row = my * c["v"] + by
-                    col = mx * c["h"] + bx
-                    store[ci][row * mcux * c["h"] + col] = blk.reshape(8, 8)
-
-    # dequantize + IDCT + assemble planes (vectorized over all blocks)
-    comps_only = [c for c, _, _ in scan]
-    return (
-        _render_planes(comps_only, store, qtables, h, w, hmax, vmax,
-                       mcux, mcuy),
-        end_pos,
-    )
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for si, (c, td, ta) in enumerate(scan):
+                store = stores[idx[si]]
+                stride = mcux * c["h"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * stride + mx * c["h"] + bx
+                        block(store[bi], td, ta, si)
+        else:
+            c, td, ta = scan[0]
+            store = stores[idx[0]]
+            stride = mcux * c["h"]
+            bi = (u // bw_act) * stride + (u % bw_act)
+            block(store[bi], td, ta, 0)
+    return end_pos
 
 
 def _render_planes(comps, nat_blocks, qtables, h, w, hmax, vmax,
