@@ -224,3 +224,90 @@ def test_tile_pyramid_validation(spark):
     pts = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double")
     with pytest.raises(ValueError):
         geo.tile_pyramid(pts, z_base=3, z_min=4)
+
+
+def test_haversine_antipodal_clamp(spark):
+    """Near-antipodal rounding can push the haversine intermediate past
+    1.0; unclamped ASIN(SQRT(.)) is NaN and poisons every MIN it feeds.
+    Exact antipode must read ~pi*R on both engines."""
+    df = spark.range(1).select(
+        geo.haversine_m(F.lit(0.0), F.lit(0.0), F.lit(180.0), F.lit(0.0))
+        .alias("d"),
+        geo.haversine_m(F.lit(10.0), F.lit(30.0), F.lit(-170.0), F.lit(-30.0))
+        .alias("d2"),
+    )
+    row = df.collect()[0]
+    assert abs(row["d"] - math.pi * 6371000.0) < 1.0
+    assert not math.isnan(row["d2"])
+    import duckdb
+
+    sql = geo.haversine_m_sql("0.0", "0.0", 180.0, 0.0)
+    v = duckdb.sql(f"SELECT {sql} AS d").fetchone()[0]
+    assert abs(v - math.pi * 6371000.0) < 1.0
+
+
+def test_point_in_polygon_many_vertices_plan_builds(spark):
+    """Regression for the O(2^edges) XOR-chain: a realistic 64-vertex
+    geofence must plan + run in seconds (the boolean-XOR accumulation
+    referenced `inside` twice per edge, and Catalyst traverses the
+    expression tree structurally — ~40 edges hung the driver)."""
+    n = 64
+    ring = [
+        [10.0 + 2.0 * math.cos(2 * math.pi * i / n),
+         50.0 + 2.0 * math.sin(2 * math.pi * i / n)]
+        for i in range(n)
+    ]
+    ring.append(ring[0])
+    geom = {"type": "Polygon", "coordinates": [ring]}
+    df = spark.createDataFrame(
+        [(10.0, 50.0), (10.0, 53.0)], "lon double, lat double"
+    )
+    got = df.select(
+        geo.point_in_polygon_col(F.col("lon"), F.col("lat"), geom)
+        .alias("w")
+    ).collect()
+    assert [r["w"] for r in got] == [True, False]
+
+
+def test_point_on_boundary_is_not_within(spark):
+    """gl-js pointWithinPolygon excludes boundary points (onBoundary
+    check before the ray cast) — both engine forms must agree."""
+    geom = {
+        "type": "Polygon",
+        "coordinates": [[[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0],
+                         [0.0, 0.0]]],
+    }
+    cases = [
+        (2.0, 2.0, True),    # interior
+        (0.0, 2.0, False),   # on left (non-horizontal) edge
+        (2.0, 0.0, False),   # on bottom (horizontal) edge
+        (0.0, 0.0, False),   # on a vertex
+        (4.0, 4.0, False),   # on the far corner
+        (5.0, 2.0, False),   # outside
+    ]
+    df = spark.createDataFrame(
+        [(lo, la) for lo, la, _ in cases], "lon double, lat double"
+    )
+    got = [
+        r["w"]
+        for r in df.select(
+            geo.point_in_polygon_col(F.col("lon"), F.col("lat"), geom)
+            .alias("w")
+        ).collect()
+    ]
+    assert got == [want for _, _, want in cases]
+    import duckdb
+
+    sql = geo.point_in_polygon_sql(geom)
+    vals = ", ".join(f"({lo}, {la})" for lo, la, _ in cases)
+    oracle = duckdb.sql(
+        f"SELECT {sql} AS w FROM (VALUES {vals}) AS t(lon, lat)"
+    ).fetchall()
+    assert [v[0] for v in oracle] == [want for _, _, want in cases]
+
+
+def test_geojson_degenerate_ring_rejected():
+    with pytest.raises(ValueError, match=">= 3 positions"):
+        geo.geojson_polygons(
+            {"type": "Polygon", "coordinates": [[]]}
+        )

@@ -144,7 +144,10 @@ def haversine_m(
         F.sin(dphi / 2) * F.sin(dphi / 2)
         + F.cos(p1) * F.cos(p2) * F.sin(dlmb / 2) * F.sin(dlmb / 2)
     )
-    return F.lit(2.0 * r) * F.asin(F.sqrt(a))
+    # near-antipodal rounding can push a to 1 + O(eps): unclamped,
+    # ASIN(SQRT(a)) goes NaN and the distance poisons every MIN it
+    # feeds (same clamp in haversine_m_sql — parity preserved)
+    return F.lit(2.0 * r) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
 def tile_bounds(z: int, x: int, y: int) -> tuple:
@@ -202,6 +205,10 @@ def geojson_polygons(geom: dict) -> list:
         closed = []
         for ring in rings:
             pts = [tuple(p[:2]) for p in ring]
+            if len(pts) < 3:
+                raise ValueError(
+                    f"GeoJSON ring needs >= 3 positions, got {len(pts)}"
+                )
             if pts[0] != pts[-1]:
                 pts.append(pts[0])
             closed.append(pts)
@@ -218,10 +225,34 @@ def point_in_polygon_col(lon: Column, lat: Column, geom: dict) -> Column:
     build into one fixed Column expression per non-horizontal edge —
     fully whole-stage-codegen'd, no UDF. Counting EVERY ring (exterior
     + holes) makes interior rings flip the parity back out (GeoJSON
-    hole semantics). MultiPolygon = OR over member polygons."""
+    hole semantics). MultiPolygon = OR over member polygons. A point
+    exactly ON a ring edge is NOT within — gl-js pointWithinPolygon
+    short-circuits its onBoundary test to false before ray casting,
+    and boundary-sharing integer tile coordinates make this case
+    reachable in practice."""
     any_poly = F.lit(False)
+    on_boundary = F.lit(False)
     for rings in geojson_polygons(geom):
-        inside = F.lit(False)
+        for ring in rings:
+            for (ax, ay), (bx, by) in _ring_edges(ring):
+                # collinear cross-product + between-endpoints, the
+                # gl-js onBoundary formula (horizontal edges included)
+                on_b = (
+                    ((F.lit(ax) - lon) * (F.lit(by) - lat)
+                     == (F.lit(bx) - lon) * (F.lit(ay) - lat))
+                    & ((F.lit(ax) - lon) * (F.lit(bx) - lon) <= 0)
+                    & ((F.lit(ay) - lat) * (F.lit(by) - lat) <= 0)
+                )
+                on_boundary = on_boundary | on_b
+    for rings in geojson_polygons(geom):
+        # integer crossing COUNT + parity, exactly like the SQL twin —
+        # NOT a chained boolean XOR: `(inside | c) & ~(inside & c)`
+        # references `inside` twice per edge, and Catalyst traverses
+        # expression trees structurally (no memoization), so the
+        # XOR-chain's plan build is O(2^edges) — a ~40-vertex real
+        # geofence would hang the driver in analysis before any task
+        # runs
+        terms = []
         for ring in rings:
             for (ax, ay), (bx, by) in _ring_edges(ring):
                 if ay == by:
@@ -229,16 +260,30 @@ def point_in_polygon_col(lon: Column, lat: Column, geom: dict) -> Column:
                 crosses = ((F.lit(ay) > lat) != (F.lit(by) > lat)) & (
                     lon < (lat - F.lit(ay)) * F.lit((bx - ax) / (by - ay)) + F.lit(ax)
                 )
-                # boolean XOR (parity flip)
-                inside = (inside | crosses) & ~(inside & crosses)
-        any_poly = any_poly | inside
-    return lon.isNotNull() & lat.isNotNull() & any_poly
+                terms.append(F.when(crosses, 1).otherwise(0))
+        if terms:
+            count = terms[0]
+            for t in terms[1:]:
+                count = count + t
+            any_poly = any_poly | (count % 2 == 1)
+    return lon.isNotNull() & lat.isNotNull() & ~on_boundary & any_poly
 
 
 def point_in_polygon_sql(geom: dict, lon: str = "lon", lat: str = "lat") -> str:
     """Crossing-count parity form of ``point_in_polygon_col`` for the
-    DuckDB oracle: same edges, same slopes, same comparisons."""
+    DuckDB oracle: same edges, same slopes, same comparisons, same
+    on-boundary exclusion."""
     poly_terms = []
+    boundary_terms = []
+    for rings in geojson_polygons(geom):
+        for ring in rings:
+            for (ax, ay), (bx, by) in _ring_edges(ring):
+                boundary_terms.append(
+                    f"((({ax!r} - {lon}) * ({by!r} - {lat}) = "
+                    f"({bx!r} - {lon}) * ({ay!r} - {lat})) "
+                    f"AND ({ax!r} - {lon}) * ({bx!r} - {lon}) <= 0 "
+                    f"AND ({ay!r} - {lat}) * ({by!r} - {lat}) <= 0)"
+                )
     for rings in geojson_polygons(geom):
         terms = []
         for ring in rings:
@@ -252,7 +297,10 @@ def point_in_polygon_sql(geom: dict, lon: str = "lon", lat: str = "lat") -> str:
                     f"THEN 1 ELSE 0 END"
                 )
         poly_terms.append("(" + " + ".join(terms) + ") % 2 = 1")
-    return "(" + " OR ".join(poly_terms) + ")"
+    return (
+        "(NOT (" + " OR ".join(boundary_terms) + ") AND ("
+        + " OR ".join(poly_terms) + "))"
+    )
 
 
 def segment_crosses_col(
@@ -377,7 +425,8 @@ def haversine_m_sql(lon_expr: str, lat_expr: str, lon2: float, lat2: float) -> s
         f"(SIN({dphi2}) * SIN({dphi2}) + "
         f"COS({p1}) * COS({p2}) * SIN({dlmb2}) * SIN({dlmb2}))"
     )
-    return f"(12742000.0 * ASIN(SQRT({a})))"
+    # antipodal clamp, mirroring haversine_m
+    return f"(12742000.0 * ASIN(SQRT(LEAST({a}, 1.0))))"
 
 
 def grid_disk_tile(cell: int, k: int = 1) -> list:

@@ -81,11 +81,30 @@ def feature_within_multi(
     /root/reference/src/filters.cpp:108-121), reduced by the same MIN
     aggregate — and for Polygon features the distance is 0 when the
     query point lies INSIDE the fill (even-odd crossing count vs the
-    feature's own closed rings, holes included). Exact for all three
-    geometry classes; segments and crossings ride the lead() window
-    the within test already pays for, so this adds zero shuffles.
+    feature's own closed rings, holes included — rings MUST repeat
+    their first vertex, the MVT ClosePath convention decode_geometry
+    emits; an open ring silently loses its closing edge from both the
+    parity count and the segment minimum). Segment distance uses a
+    local equirectangular foot anchored at the QUERY point's latitude
+    finished with spherical haversine — exact at the vertices and for
+    fill containment, approximate on long segments far in latitude
+    from the query point (mbgl's cheap-ruler scales at geometry
+    latitude; both are planar approximations of the geodesic).
+    Longitudes are used raw: geometries spanning the antimeridian
+    (lon wrapping at +/-180) are not wrapped, matching the raw-tile
+    behavior, not gl-js's world-shifted canvas. Segments and crossings
+    ride the lead() window the within test already pays for, so this
+    adds zero shuffles.
     """
-    keys = [k for k in keys if k in vertex_df.columns]
+    missing_keys = [k for k in keys if k not in vertex_df.columns]
+    if missing_keys:
+        # silently dropping keys would chain the lead() window across
+        # unrelated features and AND every verdict into one row
+        raise ValueError(
+            f"feature_within_multi: vertex_df missing key column(s) "
+            f"{missing_keys}"
+        )
+    keys = list(keys)
     if out_cols is None:
         out_cols = [f"within_{i}" for i in range(len(geoms))]
     if distance_cols is None:
