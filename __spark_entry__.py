@@ -2290,9 +2290,12 @@ FROM ranked WHERE rank <= 5
         # oracle replays the k-means-lite loop itself: seed = first 16
         # corpus ids; per pass, argmax-cosine assignment (ties toward
         # the smaller cid, matching np.argmax), element-wise mean of
-        # the members' RAW vectors, renormalize; empty clusters keep
-        # the previous centroid — then the same probe/score/rank replay
-        # as _ivf_oracle against the final centroids
+        # the members' UNIT vectors (spherical k-means — the Spark
+        # trainer sums the normalized rows its assignment kernel
+        # already computes, with the same 1e-30 zero-norm floor),
+        # renormalize; empty clusters keep the previous centroid —
+        # then the same probe/score/rank replay as _ivf_oracle against
+        # the final centroids
         sql = f"""
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
@@ -2315,7 +2318,10 @@ assign{t} AS (
   ) s WHERE rn = 1
 ),
 mean{t} AS (
-  SELECT a.cid, gs.i, SUM(a.emb[gs.i]) / COUNT(*) AS m
+  SELECT a.cid, gs.i,
+         SUM(a.emb[gs.i]
+             / GREATEST(SQRT(list_dot_product(a.emb, a.emb)), 1e-30))
+           / COUNT(*) AS m
   FROM assign{t} a
   CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {dim})) AS i) gs
   GROUP BY a.cid, gs.i

@@ -180,13 +180,16 @@ def test_train_centroids_high_dim_matches_numpy(spark):
     got = train_centroids(df, n_centroids=k, n_iters=1)
 
     # numpy reference: identical seed (first k by id, unit-norm),
-    # cosine argmax assignment, mean + renormalize, empty keeps seed
+    # cosine argmax assignment, mean of UNIT members (spherical
+    # k-means — cosine is scale-invariant, so raw sums would let one
+    # large-norm outlier drag the centroid) + renormalize, empty
+    # clusters keep the seed
     seed = mat[:k] / np.linalg.norm(mat[:k], axis=1, keepdims=True)
     unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     assign = np.argmax(unit @ seed.T, axis=1)
     want = seed.copy()
     for c in range(k):
-        members = mat[assign == c]
+        members = unit[assign == c]
         if len(members):
             m = members.mean(axis=0)
             nrm = np.linalg.norm(m)

@@ -352,3 +352,56 @@ def test_winnow_guarantee_and_overlap_pairs(spark):
     }
     assert ("a", "b") in pairs
     assert all({p[0], p[1]} == {"a", "b"} for p in pairs)
+
+
+def test_minhash_bands_validated_and_capped_sink(spark):
+    from vtshaver_spark.operators.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated here") for i in range(8)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_candidates(df, num_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_candidates(df, num_hashes=32, bands=5)
+    # identical docs collapse into one bucket per band: a cap of 4
+    # drops them all, and the sink must surface the dropped buckets
+    sink = []
+    pairs = minhash_lsh_candidates(
+        df, num_hashes=16, bands=4, max_bucket_size=4, capped_sink=sink
+    )
+    assert pairs.count() == 0
+    (capped,) = sink
+    rows = capped.collect()
+    assert len(rows) == 4  # one per band
+    assert all(r["bucket_size"] == 8 for r in rows)
+    assert sorted(rows[0]["docs"]) == list(range(8))
+
+
+def test_srp_probe_masks_all_flip_counts():
+    from vtshaver_spark.operators.ann import srp_probe_masks
+
+    from math import comb
+
+    for n, p in [(8, 3), (6, 4), (4, 6)]:
+        masks = srp_probe_masks(n, p)
+        want = sum(comb(n, k) for k in range(0, min(p, n) + 1))
+        assert len(masks) == want
+        assert len(set(masks)) == want
+        assert all(bin(m).count("1") <= p for m in masks)
+
+
+def test_hamming_block_join_bucket_cap(spark):
+    from vtshaver_spark.operators.dedup import hamming_block_join
+
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(6)], "doc_id long, fp long"
+    )
+    # all-zero fingerprints collapse into one bucket per block
+    full = hamming_block_join(df, "doc_id", "fp", max_hamming=3, blocks=4)
+    assert full.count() == 15  # 6 choose 2
+    capped = hamming_block_join(
+        df, "doc_id", "fp", max_hamming=3, blocks=4, max_bucket_size=5
+    )
+    assert capped.count() == 0

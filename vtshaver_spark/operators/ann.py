@@ -269,6 +269,22 @@ def cosine_pairs_fast(vec_a: Column, vec_b: Column) -> Column:
     return cosine_pairs_udf(vec_a, vec_b)
 
 
+def _empty_topk(spark, query_id: str, vec_id: str):
+    """Typed empty result for a zero-row query set — shared by every
+    top-k entry point (an unguarded numpy path dies on shape (0,))."""
+    from pyspark.sql import types as T
+
+    empty = T.StructType(
+        [
+            T.StructField(query_id, T.LongType(), False),
+            T.StructField(vec_id, T.LongType(), False),
+            T.StructField("cos", T.DoubleType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame([], empty)
+
+
 def lsh_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -299,6 +315,8 @@ def lsh_cosine_topk(
     # query side is broadcast-sized by contract: bucket + multiprobe
     # expansion on the driver (numpy), shipped as a broadcast join side
     q_rows = sorted(queries.select(query_id, vec_col).collect(), key=lambda r: r[query_id])
+    if not q_rows:
+        return _empty_topk(vectors.sparkSession, query_id, vec_id)
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     b0 = _srp_bucket_np(q_mat, planes)
     probe_rows = [
@@ -406,21 +424,34 @@ def _seed_centroids(
         vectors.select(vec_id, vec_col).orderBy(vec_id).limit(n_centroids).collect()
     )
     cent_mat = np.array([list(r[vec_col]) for r in cent_rows], dtype=np.float64)
-    return cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    # zero-norm seeds (padding / failed-embedding sentinels) would
+    # divide to a NaN row, and NaN dot products capture np.argmax for
+    # EVERY corpus vector — the whole corpus lands in one list
+    norms = np.maximum(np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-30)
+    return cent_mat / norms
 
 
-def _assign_centroids(v: DataFrame, cent_norm: np.ndarray) -> DataFrame:
+def _assign_centroids(
+    v: DataFrame, cent_norm: np.ndarray, emit_unit: bool = False
+) -> DataFrame:
     """Map-only Arrow matmul-argmax: append ``_cent`` (nearest centroid
     by cosine) to a DataFrame with a ``_vv array<double>`` column.
     argmax returns the FIRST max -> ties break toward the smaller
-    centroid index."""
+    centroid index. ``emit_unit`` also emits the row's UNIT vector
+    ``_uv`` (already computed for the cosine) so spherical-k-means
+    training can sum unit vectors without an interpreted JVM lambda."""
     from pyspark.sql import types as T
 
     from vtshaver_spark.plans.broadcast import ship_arrays
 
-    out_schema = T.StructType(
-        list(v.schema.fields) + [T.StructField("_cent", T.IntegerType(), False)]
-    )
+    fields = list(v.schema.fields) + [
+        T.StructField("_cent", T.IntegerType(), False)
+    ]
+    if emit_unit:
+        fields.append(
+            T.StructField("_uv", T.ArrayType(T.DoubleType()), False)
+        )
+    out_schema = T.StructType(fields)
     get_cent = ship_arrays(v.sparkSession, cent_norm)
 
     def assign(batches):
@@ -429,8 +460,15 @@ def _assign_centroids(v: DataFrame, cent_norm: np.ndarray) -> DataFrame:
             if pdf.empty:
                 continue
             mat = np.array(list(pdf["_vv"]), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            # zero-norm rows (failed-embedding sentinels) would turn
+            # the whole row NaN and poison its argmax
+            norms = np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-30
+            )
+            mat = mat / norms
             pdf["_cent"] = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+            if emit_unit:
+                pdf["_uv"] = list(mat)
             yield pdf
 
     return v.mapInPandas(assign, schema=out_schema)
@@ -448,7 +486,8 @@ def train_centroids(
 
     Seed = first ``n_centroids`` by id (the r2 'degenerate' choice,
     now only a starting point); each iteration is one map-only Arrow
-    argmax assignment plus ONE vector-sum hash aggregation
+    argmax assignment (which also emits the row's unit vector) plus
+    ONE unit-vector-sum hash aggregation
     (``pyspark.ml.stat.Summarizer`` over a VectorUDT column — a JVM
     Aggregator with map-side partial merges), then a driver-side
     mean + renormalize. Empty clusters keep their previous centroid.
@@ -472,9 +511,12 @@ def train_centroids(
     cent = _seed_centroids(vectors, n_centroids, vec_id, vec_col)
     v = vectors.select(F.col(vec_col).cast("array<double>").alias("_vv"))
     for _ in range(n_iters):
-        assigned = _assign_centroids(v, cent)
+        # spherical k-means sums UNIT vectors: the metric is cosine
+        # (scale-invariant), so raw sums would let one large-magnitude
+        # outlier drag a centroid away from a thousand unit members
+        assigned = _assign_centroids(v, cent, emit_unit=True)
         sums = (
-            assigned.select("_cent", array_to_vector(F.col("_vv")).alias("_v"))
+            assigned.select("_cent", array_to_vector(F.col("_uv")).alias("_v"))
             .groupBy("_cent")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
@@ -529,6 +571,8 @@ def ivf_cosine_topk(
     assigned = _assign_centroids(v, cent_norm)
 
     q_rows = sorted(queries.select(query_id, vec_col).collect(), key=lambda r: r[query_id])
+    if not q_rows:
+        return _empty_topk(vectors.sparkSession, query_id, vec_id)
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     sims = q_mat @ cent_norm.T
@@ -691,14 +735,15 @@ def ivf_cosine_topk_distributed(
 
 def srp_probe_masks(n_planes: int, probe_bits: int) -> list:
     """Multiprobe XOR masks: own bucket, then all buckets within
-    ``probe_bits`` bit flips."""
+    ``probe_bits`` bit flips — ALL of them (a hardcoded two-flip cap
+    once silently delivered probe_bits=2 recall for any higher
+    setting)."""
+    from itertools import combinations
+
     masks = [0]
-    if probe_bits >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if probe_bits >= 2:
+    for k in range(1, min(probe_bits, n_planes) + 1):
         masks += [
-            (1 << i) | (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
+            sum(1 << i for i in bits)
+            for bits in combinations(range(n_planes), k)
         ]
     return masks

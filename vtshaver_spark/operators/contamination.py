@@ -120,6 +120,7 @@ def decontaminate(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.2,
+    min_matched: int | None = None,
     hash_mode: str = "fast",
 ) -> DataFrame:
     """Drop TRAIN documents that overlap the eval set too much — the
@@ -128,6 +129,15 @@ def decontaminate(
 
     Returns the train DataFrame filtered to documents whose shingle
     overlap with the eval set is below ``threshold``.
+
+    DILUTION CAVEAT: the fractional ``threshold`` is measured against
+    the TRAIN document's own shingle count, so a very long train
+    document that embeds an entire short eval answer verbatim can read
+    e.g. 200/50000 = 0.004 and escape. That is precisely the case the
+    published decontamination passes target (GPT-3 App. C / PaLM /
+    Llama-2 key on absolute n-gram collisions, not train-side
+    fractions) — set ``min_matched`` to ALSO drop any train doc with
+    at least that many matched shingles, regardless of its length.
     """
     report = contamination_report(
         # roles swapped: score each train doc against eval shingles
@@ -135,5 +145,8 @@ def decontaminate(
         id_col=id_col, text_col=text_col,
         shingle_n=shingle_n, threshold=threshold, hash_mode=hash_mode,
     )
-    dirty = report.filter(F.col("is_contaminated")).select(id_col)
+    dirty_cond = F.col("is_contaminated")
+    if min_matched is not None:
+        dirty_cond = dirty_cond | (F.col("n_contaminated") >= min_matched)
+    dirty = report.filter(dirty_cond).select(id_col)
     return train.join(dirty, on=id_col, how="left_anti")

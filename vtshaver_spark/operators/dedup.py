@@ -148,6 +148,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     hash_mode: str = "fast",
     max_bucket_size: int | None = 1000,
+    capped_sink: list | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -168,8 +169,19 @@ def minhash_lsh_candidates(
     (boilerplate-heavy corpora collapse into one bucket whose size^2/2
     pairs would dwarf the rest of the job). A capped bucket is
     near-identical content — route it to exact_dedup instead of
-    pairwise comparison.
+    pairwise comparison. Pass ``capped_sink=[]`` to make that routing
+    POSSIBLE: the list receives one DataFrame of
+    (band, bucket, bucket_size, docs) rows for every bucket the cap
+    dropped, so the drop is observable instead of silently reading as
+    "no duplicates found" (no-silent-caps discipline).
     """
+    if bands < 1 or bands > num_hashes or num_hashes % bands:
+        # bands > num_hashes makes rows_per_band 0 (every doc in ONE
+        # empty-key bucket per band -> the cap drops them all: silent
+        # 100% recall loss); a non-divisor silently discards hashes
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_mode)
     banded = sig.select(
@@ -201,6 +213,15 @@ def minhash_lsh_candidates(
         .filter(F.size("_docs") >= 2)
     )
     if max_bucket_size is not None:
+        if capped_sink is not None:
+            capped_sink.append(
+                buckets.filter(F.size("_docs") > max_bucket_size).select(
+                    "band",
+                    "bucket",
+                    F.size("_docs").alias("bucket_size"),
+                    F.col("_docs").alias("docs"),
+                )
+            )
         buckets = buckets.filter(F.size("_docs") <= max_bucket_size)
     # Re-spread surviving buckets across full parallelism before the
     # CPU-heavy expansion: AQE's post-shuffle coalescing sizes
@@ -282,13 +303,21 @@ def jaccard_similarity_join(
     never meet). Candidates come from an equi-join on prefix tokens —
     never an all-pairs product — then exact verification.
 
-    Shuffle inventory: (1) token-frequency agg, (2) freq join back on
-    token, (3) per-doc sort agg, (4) prefix-token self-join,
-    (5) verify joins (ngram_jaccard). All keyed; rarest-first ordering
-    makes prefix tokens the LOW-frequency ones, so join buckets stay
-    small on natural text. ``max_token_bucket`` optionally drops
-    prefix tokens whose bucket exceeds the cap (boilerplate guard:
-    turns the join approximate; leave None for exact semantics).
+    Shuffle inventory: (1) token-frequency agg, (2) freq join back,
+    (3) per-doc sort agg, (4) prefix-token self-join, (5) verify joins
+    (ngram_jaccard). Every shuffle/join keys on ``xxhash64(token)`` —
+    ONE long column (LongHashedRelation fast path; the raw n-gram
+    string would shuffle tens of variable-length bytes per key and
+    hash generic UnsafeRows). The total order becomes
+    (freq-of-hash, hash): prefix filtering is recall-lossless under
+    ANY shared total order, and a hash collision merely merges two
+    tokens' frequency counts / admits extra candidates — the exact
+    verification step decides membership, so the RESULT set is
+    unchanged. Rarest-first ordering makes prefix tokens the
+    LOW-frequency ones, so join buckets stay small on natural text.
+    ``max_token_bucket`` optionally drops prefix tokens whose bucket
+    exceeds the cap (boilerplate guard: turns the join approximate;
+    leave None for exact semantics).
     """
     if not (0.0 < threshold < 1.0):
         raise ValueError("threshold must be in (0, 1) — use exact_dedup for t=1")
@@ -296,11 +325,13 @@ def jaccard_similarity_join(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("_sh"),
     ).filter(F.size("_sh") > 0)
-    ex = sh.select("_id", F.explode("_sh").alias("_tok"))
+    ex = sh.select("_id", F.explode("_sh").alias("_t")).select(
+        "_id", F.xxhash64("_t").alias("_tok")
+    )
     freq = ex.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     # per-doc rarest-first order + prefix slice, all codegen (array of
     # struct sorts by field order; getField on array<struct> projects
-    # the token array without an interpreted lambda)
+    # the token-hash array without an interpreted lambda)
     pref = (
         ex.join(freq, "_tok")
         .groupBy("_id")
@@ -424,6 +455,7 @@ def hamming_block_join(
     max_hamming: int,
     blocks: int,
     n_bits: int = 64,
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
     """ALL pairs of rows whose ``fp_col`` fingerprints are within
     ``max_hamming`` bits, via exact pigeonhole blocking — the generic
@@ -439,6 +471,13 @@ def hamming_block_join(
     correctly for sign-folded 64-bit fingerprints.
 
     Output columns: (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    ``max_bucket_size`` caps a (block, chunk) bucket's pair expansion
+    (size^2/2), the same discipline as minhash_lsh_candidates: flat
+    images / short docs vote whole chunks to 0, so web-scale corpora
+    concentrate one degenerate chunk value — an uncapped bucket of 1M
+    rows would expand to ~5e11 pairs. A capped bucket is
+    near-identical content; route it to exact grouping instead.
     """
     if blocks <= max_hamming:
         raise ValueError(
@@ -482,7 +521,9 @@ def hamming_block_join(
                 F.collect_list(F.struct(F.col("doc"), F.col("_fp")))
             ).alias("_ds")
         )
-        .filter(F.size("_ds") >= 2)
+        .filter(
+            (F.size("_ds") >= 2) & (F.size("_ds") <= max_bucket_size)
+        )
     )
     # spread the size^2 expansion across full parallelism (see
     # minhash_lsh_candidates)
@@ -587,8 +628,9 @@ def winnow_fingerprints(
     window: int = 4,
     hash_mode: str = "fast",
 ) -> DataFrame:
-    """Positional document fingerprints by robust winnowing — the
-    rolling-hash fingerprint family (Schleimer/Wilkerson/Aiken,
+    """Positional document fingerprints by (standard) winnowing with
+    the rightmost-min tie rule — the rolling-hash fingerprint family
+    (Schleimer/Wilkerson/Aiken,
     SIGMOD 2003; the MOSS algorithm), complementing the set-based
     sketches (MinHash/SimHash): winnowed fingerprints carry POSITIONS,
     so shared fingerprints localize the matching passage
