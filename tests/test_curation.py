@@ -2,6 +2,7 @@
 operators/sampling.py)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from vtshaver_spark.operators.contamination import (
     contamination_report,
@@ -146,3 +147,32 @@ def test_sample_quota_exact_counts(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_sample_quota_plan_has_window_group_limit(spark):
+    """Scale contract: the literal max-quota conjunct is what lets
+    InferWindowGroupLimit insert the map-side partial top-N (the rule
+    only fires on rank <= IntegerLiteral — the CASE quota expression
+    alone would sort whole groups on single tasks)."""
+    from vtshaver_spark.operators.sampling import sample_quota
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(40)],
+        "doc_id long, lang string",
+    )
+    out = sample_quota(df, {"en": 3, "de": 5})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    got = out.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in got} == {"en": 3, "de": 5}
+
+
+def test_session_rollup_value_col_param(spark):
+    from vtshaver_spark.operators.sessions import session_rollup
+
+    df = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", 2.5), (1, "2026-01-01 10:05:00", 1.5)],
+        "user_id long, ts string, amount double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = session_rollup(df, value_col="amount").collect()[0]
+    assert row["n_events"] == 2 and row["sum_value"] == 4.0

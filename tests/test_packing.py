@@ -115,3 +115,17 @@ def test_chunk_documents_validation(spark):
         chunk_documents(docs, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_null_text_yields_no_rows(spark):
+    """NULL text: size(NULL) is NULL in Spark 3, and greatest() skips
+    nulls — an unguarded formula emitted a phantom full-length chunk
+    of NULL text for every null-text document."""
+    from vtshaver_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=2).collect()
+    assert sorted(set(r["doc_id"] for r in out)) == [1]

@@ -45,6 +45,17 @@ def global_prefix_sum(
     Adds ``out_col`` = inclusive running total. Two small shuffles
     (range partition + pid-keyed window) plus one #partitions-row
     aggregate; nothing driver-side scales with the data.
+
+    PRECONDITION: ``order_col`` values must be UNIQUE. The per-
+    partition window uses the default RANGE frame, so duplicate order
+    values would all receive their tie-group's total (overlapping
+    [cum_start, cum_end) intervals downstream); a ROWS frame would
+    instead make results depend on nondeterministic post-shuffle tie
+    order — uniqueness is what makes the sum exact AND bit-stable.
+    Note the localCheckpoint below materializes the INPUT df's full
+    column set to executor storage: project to (order, value) first
+    when the frame carries wide payload columns (pack_token_sequences
+    does).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # localCheckpoint pins the sampled range boundaries: the ranged
@@ -99,10 +110,14 @@ def chunk_documents(
     pipeline).
 
     Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
-    stride = chunk_tokens - overlap; the last chunk may be short, and
-    a chunk that would start at or past the end is not emitted (so a
-    doc with n_tok <= chunk_tokens yields exactly one chunk).
-    Documents with zero tokens yield no rows.
+    stride = chunk_tokens - overlap. COVERAGE semantics: chunks are
+    emitted until the last one reaches the end of the document —
+    n_chunks = 1 + max(0, ceil((n_tok - chunk_tokens) / stride)) — so
+    a doc with n_tok <= chunk_tokens yields exactly one chunk, and no
+    chunk starts after coverage is already complete (with overlap > 0
+    this emits FEWER chunks than "every start < n_tok" would: the
+    tail is covered by the previous overlapping chunk). Documents
+    with zero tokens — or NULL text — yield no rows.
 
     100 TB shape: MAP-ONLY — tokenize once, explode a per-doc index
     sequence, slice the token array per chunk. Everything is codegen
@@ -123,8 +138,13 @@ def chunk_documents(
     toks = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
     ).withColumn("_n", F.size("_t"))
-    # number of chunks: 1 + ceil((n - chunk) / stride) for n > 0
-    n_chunks = F.when(F.col("_n") <= 0, F.lit(0)).otherwise(
+    # number of chunks: 1 + ceil((n - chunk) / stride) for n > 0.
+    # NULL text makes _n NULL: the <=0 test is then NULL (falls to
+    # otherwise) and greatest() SKIPS nulls -> a phantom full-length
+    # chunk of NULL text — guard explicitly
+    n_chunks = F.when(
+        F.col("_n").isNull() | (F.col("_n") <= 0), F.lit(0)
+    ).otherwise(
         F.lit(1)
         + F.greatest(
             F.lit(0),

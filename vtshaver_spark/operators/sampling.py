@@ -106,9 +106,18 @@ def sample_quota(
         ).otherwise(quota_expr)
     draw = _sample_hash(F.col(id_col), salt, hash_mode)
     w = Window.partitionBy(group_col).orderBy("_draw", id_col)
+    # the literal conjunct (max quota) is what lets Spark's
+    # InferWindowGroupLimit insert the map-side partial top-N — the
+    # rule only fires on `rank <= IntegerLiteral`, so filtering on the
+    # CASE expression alone would sort every group fully on one task;
+    # the per-group CASE bound then trims to the exact quota
+    max_quota = max(quotas.values(), default=0)
     return (
         df.withColumn("_draw", draw)
         .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= quota_expr)
+        .filter(
+            (F.col("_rk") <= F.lit(int(max_quota)))
+            & (F.col("_rk") <= quota_expr)
+        )
         .drop("_draw", "_rk")
     )

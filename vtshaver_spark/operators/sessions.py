@@ -50,12 +50,14 @@ def session_rollup(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
+    value_col: str = "value",
 ) -> DataFrame:
-    """Per-session aggregates: start/end, event count, value sum."""
+    """Per-session aggregates: start/end, event count, value sum
+    (``value_col``, matching stream_sessionize's parameter)."""
     s = sessionize(df, user_col, ts_col, gap_minutes)
     return s.groupBy(user_col, "session_idx").agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.sum(value_col), 6).alias("sum_value"),
     )

@@ -29,14 +29,22 @@ def stream_dedup(
     ``pmod(xxhash64(key), N)``) so state shards across tasks; the
     seen-set lives per bucket.
 
-    ``carry_col`` optionally names a column whose FIRST-ARRIVING value
-    rides along with each emitted key (e.g. the image_id that won a
+    ``carry_col`` optionally names a column whose winning value rides
+    along with each emitted key (e.g. the image_id that won a
     perceptual-hash slot); state still stores only the seen keys, so
-    the memory contract is unchanged.
+    the memory contract is unchanged. Across micro-batches the winner
+    is first-arrival; WITHIN one micro-batch (where arrow-chunk
+    arrival order is shuffle-nondeterministic) ties break to the
+    MINIMUM carry value, so replays are deterministic.
 
     ``state_timeout_ms`` bounds memory for idle buckets on continuous
-    triggers. It defaults to 0 (NoTimeout): arming a
-    ProcessingTimeTimeout re-schedules work every micro-batch, so a
+    triggers — and bounds the dedup guarantee with it: when a bucket's
+    state times out its seen-set is dropped, so a key that reappears
+    AFTER the timeout is emitted again (at-most-once per state
+    lifetime, not per stream lifetime — that is the explicit
+    memory/exactness trade; leave 0 for the unconditional guarantee).
+    It defaults to 0 (NoTimeout): arming a ProcessingTimeTimeout
+    re-schedules work every micro-batch, so a
     ``trigger(availableNow=True)`` drain never reaches termination —
     only opt in for genuinely continuous queries.
     """
@@ -57,14 +65,23 @@ def stream_dedup(
             state.remove()
             return
         seen = set(state.get[0]) if state.exists else set()
+        # concat + deterministic ordering: chunk arrival order is
+        # shuffle-dependent, so "first in batch" would flip between
+        # replays — order by (key, carry) instead
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
         fresh, carried = [], []
-        for pdf in pdfs:
-            carries = (
-                pdf[carry_col].astype(str)
-                if carry_col is not None
-                else pdf[key_col]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1 else chunks[0]
             )
-            for k, c in zip(pdf[key_col].astype(str), carries):
+            cseries = (
+                whole[carry_col].astype(str)
+                if carry_col is not None
+                else whole[key_col].astype(str)
+            )
+            batch = sorted(zip(whole[key_col].astype(str), cseries))
+            for k, c in batch:
                 if k not in seen:
                     seen.add(k)
                     fresh.append(k)
@@ -168,8 +185,19 @@ def stream_sessionize(
             return
         cur = list(state.get) if state.exists else None
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        # applyInPandasWithState delivers the group's batch as ~10k-row
+        # arrow chunks in ARRIVAL order: sorting each chunk alone would
+        # still process later-chunk events out of event-time order and
+        # mis-split sessions for any user with a chunk-spanning batch —
+        # concat the whole batch first
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        whole = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1 else (chunks[0] if chunks else None)
+        )
+        if whole is not None:
+            whole = whole.sort_values(ts_col)
+        for pdf in ([whole] if whole is not None else []):
             for ts, val in zip(pdf[ts_col], pdf[value_col]):
                 us = int(pd.Timestamp(ts).value // 1000)
                 v = float(val)
