@@ -55,6 +55,59 @@ def test_knn_broadcast_matches_bruteforce(spark, points, landmarks):
     assert got == golden
 
 
+def test_knn_broadcast_grid_matches_bruteforce(spark, points):
+    """m >= 64 activates the grid-candidate selection path (r6): the
+    result must stay row-identical to brute force — including points
+    OUTSIDE the landmark bbox and clustered points (margin-check
+    fallback rows), and k past the padded candidate window."""
+    lms = landmarks_df(spark, n=200).cache()
+    # clustered + out-of-bbox probes on top of the uniform fixture
+    extra = [
+        ("img_edge_n", 0.0, 89.5), ("img_edge_s", 0.0, -89.9),
+        ("img_edge_w", -179.99, 0.0), ("img_edge_e", 179.99, 0.0),
+        ("img_clust_1", -122.41, 37.77), ("img_clust_2", -122.4100001, 37.7700001),
+    ]
+    pts_df = points.union(
+        spark.createDataFrame(extra, "image_id string, lon double, lat double")
+    )
+    pts = [(r["image_id"], r["lon"], r["lat"]) for r in pts_df.collect()]
+    lm_rows = [(r["landmark_id"], r["lon"], r["lat"]) for r in lms.collect()]
+    for k in (3, 15):  # 15 > kpad window of the k=3 case
+        golden = brute_knn(pts, lm_rows, k=k)
+        out = knn_join_broadcast(pts_df, lms, k=k).collect()
+        got = {}
+        for r in sorted(out, key=lambda r: (r["image_id"], r["rank"])):
+            got.setdefault(r["image_id"], []).append(r["landmark_id"])
+        assert got == golden
+
+
+def test_knn_grid_builder_exactness_invariants():
+    """The grid builder must put >= kpad candidates in every cell and
+    keep the searched-region bounds consistent with the ring."""
+    from vtshaver_spark.operators.knn import _build_lm_grid
+
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(-170, 170, size=500)
+    lat = rng.uniform(-75, 75, size=500)
+    kpad = 11
+    grid = _build_lm_grid(lon, lat, kpad)
+    assert grid is not None
+    cand, sx0, sx1, sy0, sy1, meta = grid
+    m = lon.size
+    real = (cand < m).sum(axis=1)
+    assert (real >= kpad).all()
+    # the kernel's exactness guarantee: every landmark strictly inside
+    # the guard-shrunk searched region of a cell IS in its candidate
+    # list (so any non-candidate is at least `margin` away)
+    guard = 1e-9
+    for c in range(cand.shape[0]):
+        members = set(cand[c][cand[c] < m].tolist())
+        for i in range(m):
+            if (sx0[c] + guard < lon[i] < sx1[c] - guard
+                    and sy0[c] + guard < lat[i] < sy1[c] - guard):
+                assert i in members, (c, i)
+
+
 def test_knn_broadcast_plan_map_only(spark, points, landmarks):
     # the kNN kernel must be a shuffle-free map stage (Arrow kernel)
     plan = knn_join_broadcast(points, landmarks, k=3)._jdf.queryExecution().executedPlan().toString()
