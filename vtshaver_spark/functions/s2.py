@@ -152,58 +152,76 @@ def with_s2_cell_col(
     """
     import math
 
+    # Construction is ONE nested-SELECT SQL string (r6): the previous
+    # per-level withColumn/Column-operator form cost ~250 py4j round
+    # trips plus ~55 eager re-analyses of a growing plan — 0.48s of
+    # DRIVER time per call, ~40% of the headline s2_cells leg. The
+    # whole layered chain now builds as a Python string and crosses
+    # py4j ONCE via spark.sql(..., df=df) (double literals carry the D
+    # suffix so they stay DoubleType, never decimal); layer structure,
+    # the optimized/codegen plan shape and emitted bits are unchanged
+    # (numpy parity pinned in tests/test_geo.py, tile_cell_ids oracle
+    # green, plan diff: identical Project layering).
+
     # radians via explicit multiply (numpy's deg2rad is a constant
     # multiply; JVM Math.toRadians divides first — different last-ulp)
-    d2r = math.pi / 180.0
-    phi = F.col(lat) * F.lit(d2r)
-    theta = F.col(lon) * F.lit(d2r)
-    df = (
-        df.withColumn("_s2x", F.cos(phi) * F.cos(theta))
-        .withColumn("_s2y", F.cos(phi) * F.sin(theta))
-        .withColumn("_s2z", F.sin(phi))
-    )
-    x, y, z = F.col("_s2x"), F.col("_s2y"), F.col("_s2z")
-    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
-    face = (
-        F.when((ax >= ay) & (ax >= az), F.when(x >= 0, 0).otherwise(3))
-        .otherwise(
-            F.when(ay >= az, F.when(y >= 0, 1).otherwise(4))
-            .otherwise(F.when(z >= 0, 2).otherwise(5))
+    d2r = repr(math.pi / 180.0) + "D"
+    base_cols = [f"`{c}`" for c in df.columns]
+
+    q = ["{df}"]  # innermost FROM: the input DataFrame, substituted by spark.sql
+
+    def layer(frame, keep, *exprs):
+        q[0] = (
+            f"SELECT {', '.join(list(keep) + list(exprs))} FROM "
+            + (q[0] if q[0] == "{df}" else f"({q[0]})")
         )
-    ).cast("long")
-    df = df.withColumn("_s2f", face)
-    f = F.col("_s2f")
+        return frame
+
+    ln, lt = f"`{lon}`", f"`{lat}`"
+    df = layer(
+        df, base_cols,
+        f"cos({lt} * {d2r}) * cos({ln} * {d2r}) AS _s2x",
+        f"cos({lt} * {d2r}) * sin({ln} * {d2r}) AS _s2y",
+        f"sin({lt} * {d2r}) AS _s2z",
+    )
+    face = (
+        "CAST(CASE WHEN (abs(_s2x) >= abs(_s2y)) AND (abs(_s2x) >= abs(_s2z)) "
+        "THEN (CASE WHEN _s2x >= 0 THEN 0 ELSE 3 END) "
+        "ELSE (CASE WHEN abs(_s2y) >= abs(_s2z) "
+        "THEN (CASE WHEN _s2y >= 0 THEN 1 ELSE 4 END) "
+        "ELSE (CASE WHEN _s2z >= 0 THEN 2 ELSE 5 END) END) END AS BIGINT)"
+    )
+    df = layer(df, base_cols + ["_s2x", "_s2y", "_s2z"], f"{face} AS _s2f")
+
     u = (
-        F.when(f == 0, y / x)
-        .when(f == 1, -x / y)
-        .when(f == 2, -x / z)
-        .when(f == 3, z / x)
-        .when(f == 4, z / y)
-        .otherwise(-y / z)
+        "CASE WHEN _s2f = 0 THEN _s2y / _s2x WHEN _s2f = 1 THEN -_s2x / _s2y "
+        "WHEN _s2f = 2 THEN -_s2x / _s2z WHEN _s2f = 3 THEN _s2z / _s2x "
+        "WHEN _s2f = 4 THEN _s2z / _s2y ELSE -_s2y / _s2z END"
     )
     v = (
-        F.when(f == 0, z / x)
-        .when(f == 1, z / y)
-        .when(f == 2, -y / z)
-        .when(f == 3, y / x)
-        .when(f == 4, -x / y)
-        .otherwise(-x / z)
+        "CASE WHEN _s2f = 0 THEN _s2z / _s2x WHEN _s2f = 1 THEN _s2z / _s2y "
+        "WHEN _s2f = 2 THEN -_s2y / _s2z WHEN _s2f = 3 THEN _s2y / _s2x "
+        "WHEN _s2f = 4 THEN -_s2x / _s2y ELSE -_s2x / _s2z END"
     )
 
     def st(c):
-        return F.when(
-            c >= 0, F.lit(0.5) * F.sqrt(F.lit(1.0) + F.lit(3.0) * c)
-        ).otherwise(F.lit(1.0) - F.lit(0.5) * F.sqrt(F.lit(1.0) - F.lit(3.0) * c))
+        return (
+            f"CASE WHEN ({c}) >= 0 THEN 0.5D * sqrt(1.0D + 3.0D * ({c})) "
+            f"ELSE 1.0D - 0.5D * sqrt(1.0D - 3.0D * ({c})) END"
+        )
 
     n = 1 << level
 
     def ij(c):
-        return F.least(
-            F.greatest((c * F.lit(float(n))).cast("long"), F.lit(0).cast("long")),
-            F.lit(n - 1).cast("long"),
+        return (
+            f"least(greatest(CAST(({c}) * {float(n)!r}D AS BIGINT), "
+            f"CAST(0 AS BIGINT)), CAST({n - 1} AS BIGINT))"
         )
 
-    df = df.withColumn("_s2i", ij(st(u))).withColumn("_s2j", ij(st(v)))
+    df = layer(
+        df, base_cols + ["_s2x", "_s2y", "_s2z", "_s2f"],
+        f"{ij(st(u))} AS _s2i", f"{ij(st(v))} AS _s2j",
+    )
 
     # Hilbert xy2d as the 4-STATE LOOKUP machine, MSB-first: per level
     # THREE narrow integer expressions (quadrant index, curve digit,
@@ -220,41 +238,31 @@ def with_s2_cell_col(
     # bit parity with the rotate/flip ``_hilbert_d`` is pinned in
     # tests/test_geo.py.
     DT, NT = 0x1E369CB4, 0xB7CA5C21
-    df = df.withColumn("_s2d", F.lit(0).cast("long")).withColumn(
-        "_s2s", F.lit(0).cast("long")
+    carry = base_cols + ["_s2x", "_s2y", "_s2z", "_s2f", "_s2i", "_s2j"]
+    df = layer(
+        df, carry,
+        "CAST(0 AS BIGINT) AS _s2d", "CAST(0 AS BIGINT) AS _s2s",
     )
     for b in range(level - 1, -1, -1):
-        df = df.withColumn(
-            "_s2k",
-            (
-                F.shiftleft(F.col("_s2s"), 3)
-                + F.shiftleft(
-                    F.shiftright(F.col("_s2i"), b).bitwiseAND(F.lit(1)), 2
-                )
-                + F.shiftleft(
-                    F.shiftright(F.col("_s2j"), b).bitwiseAND(F.lit(1)), 1
-                )
-            ).cast("int"),
+        df = layer(
+            df, carry + ["_s2d", "_s2s"],
+            "CAST((shiftleft(_s2s, 3) + shiftleft(shiftright(_s2i, "
+            f"{b}) & 1, 2) + shiftleft(shiftright(_s2j, {b}) & 1, 1)) "
+            "AS INT) AS _s2k",
         )
-        df = df.withColumn(
-            "_s2d",
-            F.shiftleft(F.col("_s2d"), 2).bitwiseOR(
-                F.expr(f"shiftright({DT}, _s2k) & 3")
-            ),
-        ).withColumn(
-            "_s2s", F.expr(f"cast(shiftright({NT}, _s2k) & 3 as bigint)")
+        df = layer(
+            df, carry + ["_s2k"],
+            f"shiftleft(_s2d, 2) | (shiftright({DT}, _s2k) & 3) AS _s2d",
+            f"CAST(shiftright({NT}, _s2k) & 3 AS BIGINT) AS _s2s",
         )
 
     shift = 2 * (MAX_LEVEL - level) + 1
-    cell = (
-        F.shiftleft(F.col("_s2f"), 61)
-        .bitwiseOR(F.shiftleft(F.col("_s2d"), shift))
-        .bitwiseOR(F.lit(1 << (shift - 1)))
+    layer(
+        df, base_cols,
+        f"shiftleft(_s2f, 61) | shiftleft(_s2d, {shift}) | "
+        f"{1 << (shift - 1)}L AS `{out}`",
     )
-    return df.withColumn(out, cell).drop(
-        "_s2x", "_s2y", "_s2z", "_s2f", "_s2i", "_s2j", "_s2d",
-        "_s2s", "_s2k",
-    )
+    return df.sparkSession.sql(q[0], df=df)
 
 
 def s2_cell_udf(level: int = 12):
