@@ -118,13 +118,15 @@ def minhash_signatures(
     if hash_mode == "fast":
         # hash the string once; the family is (a*x + b) mod p over the
         # reduced base (a pure affine map without the modulus is
-        # monotonic — all mins pick the same shingle)
+        # monotonic — all mins pick the same shingle).
+        # Expressions render as SQL strings (r6): the per-member Column
+        # construction cost ~8 py4j round trips x num_hashes (~0.3s of
+        # driver time per call at 32 hashes); F.expr parses each member
+        # in one call into the same Catalyst tree.
         sh = sh.withColumn("_b32", F.pmod(F.xxhash64("_s"), F.lit(MH_PRIME)))
         consts = [_family_constants(j) for j in range(num_hashes)]
         aggs = [
-            F.min(
-                F.pmod(F.col("_b32") * F.lit(a) + F.lit(b), F.lit(MH_PRIME))
-            ).alias(f"_h{j}")
+            F.expr(f"min(pmod(_b32 * {a} + {b}, {MH_PRIME})) AS _h{j}")
             for j, (a, b) in enumerate(consts)
         ]
     else:
@@ -132,10 +134,9 @@ def minhash_signatures(
             F.min(_salted_hash(F.col("_s"), j, hash_mode)).alias(f"_h{j}")
             for j in range(num_hashes)
         ]
-    return (
-        sh.groupBy("doc")
-        .agg(*aggs)
-        .select("doc", F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("_sig"))
+    sig_cols = ", ".join(f"_h{j}" for j in range(num_hashes))
+    return sh.groupBy("doc").agg(*aggs).selectExpr(
+        "doc", f"array({sig_cols}) AS _sig"
     )
 
 
@@ -184,29 +185,46 @@ def minhash_lsh_candidates(
         )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, hash_mode)
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _bucket_hash(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("_sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            ),
-                            hash_mode,
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
+    if hash_mode == "fast":
+        # one selectExpr (r6): the Column form of the banded struct
+        # array cost ~150 py4j round trips of driver time per call;
+        # inline() explodes the struct array straight into the same
+        # (band, bucket) columns
+        structs = ", ".join(
+            "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {parts})))".format(
+                b=b,
+                parts=", ".join(
+                    f"cast(_sig[{b * rows_per_band + r}] as string)"
+                    for r in range(rows_per_band)
+                ),
             )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+            for b in range(bands)
+        )
+        banded = sig.selectExpr("doc", f"inline(array({structs}))")
+    else:
+        banded = sig.select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            _bucket_hash(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col("_sig")[b * rows_per_band + r].cast("string")
+                                        for r in range(rows_per_band)
+                                    ],
+                                ),
+                                hash_mode,
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc", "bb.band", "bb.bucket")
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc")).alias("_docs"))
