@@ -14,23 +14,29 @@ plan keeps the big side map-only:
      reference rows themselves. The bitmap collects to the driver
      (m/8 bytes; 2^27 bits = 16 MB) and ships via
      plans/broadcast.ship_arrays (torrent broadcast above 4 MB).
-  2. PROBE (map-only): the big side's two hash values are computed
-     JVM-side with the SAME Column expression the build used —
-     double hashing h_j = h1 + j*h2 (Kirsch-Mitzenmacher), so the
-     Arrow kernel never hashes anything; it only gathers bitmap words
-     (vectorized numpy, allocation-light). Bloom-negative rows are
-     DEFINITELY new: they bypass any join entirely.
-  3. VERIFY (exact): only bloom-positive rows — |true matches| +
-     fpp * N, a sliver of the corpus — enter a real anti-join against
-     the reference keys. The final result is therefore EXACT; the
-     Bloom filter is pruning, not semantics (same contract as Spark's
-     own InjectRuntimeFilter, applied cross-DataFrame).
+  2. PROBE (map-only, pure JVM codegen — r6): the bitmap words ride
+     as DATA in a one-row broadcast LocalRelation cross-joined onto
+     the big side; each of the ``num_hashes`` probes is an
+     ``element_at`` gather + shift with the SAME double-hashing
+     expressions the build used — h_j = h1 + j*h2
+     (Kirsch-Mitzenmacher). No Python boundary anywhere: the r5 numpy
+     probe kernel shipped every big-side column (document text
+     included) through the Python worker and back, and its
+     clean/suspects union ran the scan+probe twice.
+  3. VERIFY (exact): ONE LeftAnti hash join with the compound
+     condition (_maybe AND key-equal) — bloom-negative rows match
+     nothing and pass through; only bloom-positive rows
+     (|true matches| + fpp * N, a sliver of the corpus) are verified
+     on the extracted equi-key, with _maybe as the residual
+     condition. The final result is therefore EXACT; the Bloom filter
+     is pruning, not semantics (same contract as Spark's own
+     InjectRuntimeFilter, applied cross-DataFrame).
 
 Signed-64 parity note: bit positions are ``(h1 + j*h2) & (m-1)`` with
-m a power of two. JVM long arithmetic and numpy int64 both wrap
-two's-complement and both define ``& (m-1)`` on negatives identically,
-so build (JVM) and probe (numpy) agree bit-for-bit without any
-unsigned-conversion dance.
+m a power of two — build and probe now share the literal Column
+expressions, and numpy consumers of ``build_bloom`` stay bit-exact
+because int64 wraps two's-complement with the same ``& (m-1)``
+semantics as JVM longs.
 
 Reference scope note: vtshaver has no corpus operators; this is part
 of the training-data graft surface (SURVEY.md §2 graft block), same
@@ -44,7 +50,6 @@ import math
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 # Hash halves are folded to 31 bits so h1 + j*h2 stays far inside
@@ -151,59 +156,53 @@ def bloom_anti_join(
         return big
     num_bits, num_hashes = bloom_params(n, fpp)
     bitmap = build_bloom(ref, key_expr(), num_bits, num_hashes)
-
-    from vtshaver_spark.plans.broadcast import ship_arrays
-
-    get_bm = ship_arrays(big.sparkSession, bitmap)
     mask = num_bits - 1
 
+    # r6 rewrite — the probe runs entirely JVM-side in whole-stage
+    # codegen. The previous numpy probe kernel was correct but shipped
+    # EVERY big-side column (document text included) through the Python
+    # worker and back (Arrow transport dominated the probe cost), and
+    # the clean/suspects filter+union referenced the kernel output from
+    # both branches, re-running the whole scan+probe twice. Now:
+    #   PROBE: the bitmap words ride as DATA in a one-row broadcast
+    #     LocalRelation (never as an expression literal — plans stay
+    #     small at any filter size) cross-joined onto the big side;
+    #     each of the num_hashes probes is an element_at gather + shift
+    #     — no Python boundary anywhere on the big side.
+    #   VERIFY: ONE LeftAnti BroadcastHashJoin with the compound
+    #     condition (_maybe AND key-equal): bloom-negative rows match
+    #     nothing and pass through without probing the hash relation;
+    #     bloom-positive rows (true matches + fpp*N) are verified
+    #     exactly on the extracted _bk equi-key with _maybe as the
+    #     residual condition. Result rows are IDENTICAL for any filter
+    #     contents — the bloom is pruning, not semantics.
+    spark = big.sparkSession
+    bm_df = spark.createDataFrame([(bitmap.tolist(),)], "_bm array<bigint>")
+
+    def probe(j: int) -> str:
+        pos = f"((_h1 + {j} * _h2) & {mask})"
+        return (
+            f"((element_at(_bm, CAST(shiftright({pos}, 6) AS INT) + 1) "
+            f">> CAST(({pos} & 63) AS INT)) & 1) = 1"
+        )
+
     h1, h2 = _bloom_hashes(key_expr())
-    flagged_in = big.withColumn("_bk", key_expr()).withColumn(
-        "_h1", h1
-    ).withColumn("_h2", h2)
-
-    out_schema = T.StructType(
-        flagged_in.schema.fields[:-2] + [T.StructField("_maybe", T.BooleanType())]
+    flagged = (
+        big.withColumn("_bk", key_expr())
+        .withColumn("_h1", h1)
+        .withColumn("_h2", h2)
+        .crossJoin(F.broadcast(bm_df))
+        .withColumn(
+            "_maybe", F.expr(" AND ".join(probe(j) for j in range(num_hashes)))
+        )
+        .drop("_bm", "_h1", "_h2")
     )
-
-    def kernel(batches):
-        import pyarrow as pa
-
-        (bm,) = get_bm()
-        for rb in batches:
-            if rb.num_rows == 0:
-                continue
-            v1 = rb.column("_h1").to_numpy(zero_copy_only=False)
-            v2 = rb.column("_h2").to_numpy(zero_copy_only=False)
-            ok = np.ones(len(v1), dtype=bool)
-            pos = np.empty(len(v1), dtype=np.int64)
-            for j in range(num_hashes):
-                # same signed wraparound + mask as the JVM build side
-                np.multiply(v2, j, out=pos)
-                np.add(pos, v1, out=pos)
-                np.bitwise_and(pos, mask, out=pos)
-                bits = (bm[pos >> 6] >> (pos & 63)) & 1
-                ok &= bits.astype(bool)
-                if not ok.any():
-                    break
-            keep = [
-                rb.column(i)
-                for i, nm in enumerate(rb.schema.names)
-                if nm not in ("_h1", "_h2")
-            ]
-            names = [nm for nm in rb.schema.names if nm not in ("_h1", "_h2")]
-            keep.append(pa.array(ok))
-            names.append("_maybe")
-            yield pa.RecordBatch.from_arrays(keep, names=names)
-
-    flagged = flagged_in.mapInArrow(kernel, schema=out_schema)
-    # bloom-negative rows are definitely new: no join at all
-    clean = flagged.filter(~F.col("_maybe")).drop("_bk", "_maybe")
-    # bloom-positive rows (true matches + fpp*N) verify exactly
-    ref_keys = ref.select(key_expr().alias("_bk")).distinct()
-    suspects = (
-        flagged.filter(F.col("_maybe"))
-        .join(ref_keys, on="_bk", how="left_anti")
+    ref_keys = ref.select(key_expr().alias("_rk")).distinct()
+    return (
+        flagged.join(
+            ref_keys,
+            on=F.col("_maybe") & (F.col("_bk") == F.col("_rk")),
+            how="left_anti",
+        )
         .drop("_bk", "_maybe")
     )
-    return clean.unionByName(suspects)
