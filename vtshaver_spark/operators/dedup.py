@@ -666,10 +666,17 @@ def winnow_fingerprints(
     definition: each hash at position p serves the windows
     ``p-window+1 .. p`` (clipped to valid starts); a per-(doc, window)
     MIN over a (fp, -pos) struct implements rightmost-min-wins. One
-    doc-keyed window pass + one grouped aggregation + one distinct;
-    expansion factor is exactly ``window`` and all keys carry the doc
-    id, so the 100 TB shape is per-doc-local work behind doc-hash
-    exchanges — no corpus-wide products anywhere.
+    explode + one grouped aggregation (map-side partials shrink the
+    exchange) + one distinct; expansion factor is exactly ``window``
+    and all keys carry the doc id, so the 100 TB shape is per-doc-
+    local work behind doc-hash exchanges — no corpus-wide products
+    anywhere. The shingle count n comes from ``size()`` of the same
+    array the explode consumes (r6) — the former doc-partitioned
+    count() window spent a full extra exchange + per-partition
+    materialization just to compute it. (A sliding ROWS-frame window
+    formulation was A/B'd in r6 and is 2x SLOWER at sf1.0: the per-doc
+    sort costs more than the window-fold explode into a partial hash
+    agg.)
 
     Docs with fewer than ``window`` k-grams have no complete window
     and produce no fingerprints (the MOSS contract: texts shorter than
@@ -687,19 +694,21 @@ def winnow_fingerprints(
     else:
         h = F.pmod(F.xxhash64("_s"), F.lit(MH_PRIME))
     sh = sh.select("doc", "pos", h.alias("fp"))
-    sh = sh.withColumn("_n", F.count("*").over(Window.partitionBy("doc")))
     exp = (
         sh.select(
-            "doc", "pos", "fp", "_n",
+            "doc", "pos", "fp",
             F.explode(
                 F.sequence(F.lit(0), F.lit(window - 1))
             ).alias("_off"),
         )
         .withColumn("win", F.col("pos") - F.col("_off"))
-        .filter(
-            (F.col("win") >= 0) & (F.col("win") <= F.col("_n") - F.lit(window))
-        )
+        .filter(F.col("win") >= 0)
     )
+    # positions are dense 0..n-1, so a window start is valid
+    # (win <= n - window) exactly when its group holds `window`
+    # members — the count test replaces the former per-doc count()
+    # window pass that existed only to compute n (one full exchange
+    # plus per-partition materialization of the corpus, r6)
     sel = (
         exp.groupBy("doc", "win")
         .agg(
@@ -707,8 +716,10 @@ def winnow_fingerprints(
                 F.struct(
                     F.col("fp"), (-F.col("pos")).alias("_np"), F.col("pos")
                 )
-            ).alias("_m")
+            ).alias("_m"),
+            F.count(F.lit(1)).alias("_c"),
         )
+        .filter(F.col("_c") == window)
         .select("doc", F.col("_m.pos").alias("pos"), F.col("_m.fp").alias("fp"))
     )
     return sel.distinct()
