@@ -58,6 +58,13 @@ def global_prefix_sum(
     does).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Pre-materialize the input ONCE (r6): repartitionByRange runs a
+    # RangePartitioner SAMPLING job over its child before the exchange
+    # itself executes, so an expensive input plan (pack_token_sequences
+    # feeds a full tokenizer pass) was computed twice per call. The
+    # checkpointed frame is narrow — callers project to (order, value)
+    # first — so the materialization is a few bytes per row.
+    df = df.localCheckpoint()
     # localCheckpoint pins the sampled range boundaries: the ranged
     # exchange feeds TWO consumers (offsets agg + the windowed rows),
     # and a recomputed RangePartitioner could re-sample different
