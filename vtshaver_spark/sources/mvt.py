@@ -512,9 +512,16 @@ def decode_tiles(
     reference's decode-must-error contract); "skip" drops corrupt
     tiles and keeps going — at fleet scale one bad object must not
     kill a 10^6-task job (count skips by anti-joining the output's
-    tile keys against the input)."""
-    import pandas as pd
+    tile keys against the input).
 
+    The kernel is ``mapInArrow`` with direct Arrow-array assembly
+    (r6): the pandas form spent more time in DataFrame construction
+    plus Spark's per-column coercion/serialization than in the actual
+    protobuf parse (measured at sf1.0x8: transport-in 0.16s, parse
+    0.36s, pandas assembly + output serialization 1.16s of a 1.99s
+    noop decode). Building ``pa.array`` columns with explicit map/
+    binary types skips both pandas and the serializer's type-coercion
+    walk; emitted rows are identical."""
     if on_error not in ("fail", "skip"):
         raise ValueError("on_error must be 'fail' or 'skip'")
 
@@ -524,18 +531,27 @@ def decode_tiles(
     )
     schema = (carry_schema + ", " if carry_schema else "") + MVT_ROW_SCHEMA
 
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_struct = _parse_datatype_string(schema)
+    pa_types = {f.name: to_arrow_type(f.dataType) for f in out_struct.fields}
+
     row_fields = (
         "layer", "layer_version", "layer_extent", "feature_id",
         "geom_type", "geometry", "props", "prop_types",
     )
+    map_fields = ("props", "prop_types")
 
     def kernel(batches):
-        for pdf in batches:
+        import pyarrow as pa
+
+        for rb in batches:
             # column-wise assembly (iterrows + list-of-dicts DataFrame
             # construction measured ~3x slower per feature)
             cols: dict = {c: [] for c in (*carry, *row_fields)}
-            carry_series = [pdf[c].tolist() for c in carry]
-            for i, blob in enumerate(pdf[tile_col].tolist()):
+            carry_series = [rb.column(c).to_pylist() for c in carry]
+            for i, blob in enumerate(rb.column(tile_col).to_pylist()):
                 try:
                     rows = tile_to_rows(bytes(blob))
                 except MVTError:
@@ -549,9 +565,19 @@ def decode_tiles(
                     for r in rows:
                         col.append(r[fld])
             if cols["layer"]:
-                yield pd.DataFrame(cols)
+                for fld in map_fields:
+                    cols[fld] = [
+                        None if d is None else list(d.items()) for d in cols[fld]
+                    ]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cols[name], type=pa_types[name])
+                        for name in (*carry, *row_fields)
+                    ],
+                    names=[*carry, *row_fields],
+                )
 
-    return df.select(*carry, tile_col).mapInPandas(kernel, schema=schema)
+    return df.select(*carry, tile_col).mapInArrow(kernel, schema=schema)
 
 
 def encode_tiles_mvt(
