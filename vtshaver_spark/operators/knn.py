@@ -184,13 +184,16 @@ def knn_join_broadcast(
     import pandas as pd
     from pyspark.sql import types as T
 
-    lm_rows = sorted(
-        landmarks.select(landmark_id, "lon", "lat").collect(),
-        key=lambda r: r[landmark_id],
-    )
-    lm_id = np.array([r[landmark_id] for r in lm_rows], dtype=np.int64)
-    lm_lon = np.array([r["lon"] for r in lm_rows], dtype=np.float64)
-    lm_lat = np.array([r["lat"] for r in lm_rows], dtype=np.float64)
+    # Arrow-path collect (r6): row-object collect() of the landmark
+    # table paid ~0.15s of py4j deserialization per call at 10k rows;
+    # toPandas rides one Arrow batch (guide §6 "Arrow for driver
+    # transfers"). Values are bit-identical; the id sort happens in
+    # numpy.
+    lm_pdf = landmarks.select(landmark_id, "lon", "lat").toPandas()
+    order = np.argsort(lm_pdf[landmark_id].to_numpy(np.int64), kind="stable")
+    lm_id = lm_pdf[landmark_id].to_numpy(np.int64)[order]
+    lm_lon = lm_pdf["lon"].to_numpy(np.float64)[order]
+    lm_lat = lm_pdf["lat"].to_numpy(np.float64)[order]
     kk = min(k, len(lm_id))
 
     m = len(lm_id)
