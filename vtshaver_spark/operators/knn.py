@@ -244,8 +244,14 @@ def knn_join_broadcast(
             points.sparkSession, lm_id, lm_lon, lm_lat, lm_ops, lm_sq
         )
 
+    # the kernel must capture only this FLAG, never `grid` itself —
+    # referencing the tuple would close over the candidate arrays and
+    # ship them in every task launch message, defeating ship_arrays'
+    # torrent-broadcast threshold
+    use_grid = grid is not None
+
     def kernel(batches):
-        if grid is not None:
+        if use_grid:
             (lm_id, lm_lon, lm_lat, lm_ops, lm_sq,
              g_cand, g_sx0, g_sx1, g_sy0, g_sy1,
              lm_lon_pad, lm_lat_pad) = get_lm()
@@ -268,7 +274,7 @@ def knn_join_broadcast(
         # per-worker slowdown vs 2-way fell 13.5% -> 9% with an ~8%
         # absolute win — DRAM contention is what a packed executor
         # (and the hi-core bench leg) actually fights.
-        if grid is not None:
+        if use_grid:
             wid = g_cand.shape[1]
             RB = max(256, min(8192, (4 << 20) // max(1, 8 * wid)))
         else:
@@ -281,7 +287,7 @@ def knn_join_broadcast(
                 continue
             if b > cap:
                 cap = max(b, 10000)
-                if grid is not None:
+                if use_grid:
                     G = np.empty((min(RB, cap), wid))
                     DX = np.empty((min(RB, cap), wid))
                     DY = np.empty((min(RB, cap), wid))
@@ -297,7 +303,7 @@ def knn_join_broadcast(
             for s in range(0, b, RB):
                 e = min(s + RB, b)
                 n = e - s
-                if grid is not None:
+                if use_grid:
                     pl = plon[s:e]
                     pt = plat[s:e]
                     pcx = np.clip(((pl - g_bx0) * g_icw).astype(np.int64), 0, g_gx - 1)
