@@ -52,6 +52,28 @@ def test_cosine_topk_empty_query_set(spark, vectors):
     assert set(out.columns) == {"query_id", "vec_id", "cos", "rank"}
 
 
+def test_empty_topk_schema_matches_nonempty_path(spark):
+    """ADVICE r5: the empty-query early return must carry the SAME id
+    column types as the non-empty path — derived from the inputs, not
+    hardcoded LongType — so unions over per-batch results don't change
+    schema depending on whether a batch happened to be empty."""
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    nonempty_q = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "query_id int, embedding array<double>"
+    )
+    empty_q = spark.createDataFrame([], "query_id int, embedding array<double>")
+    full = cosine_topk(vecs, nonempty_q, k=1, vec_id="vec_id")
+    empty = cosine_topk(vecs, empty_q, k=1, vec_id="vec_id")
+    assert [f.dataType for f in empty.schema.fields[:2]] == [
+        f.dataType for f in full.schema.fields[:2]
+    ]
+    # and the union both paths exist to serve must analyze
+    assert full.unionByName(empty).count() == 1
+
+
 def test_cosine_topk_matches_numpy(spark, vectors, queries):
     golden = numpy_topk(5)
     out = cosine_topk(vectors.filter(F.col("vec_id") >= 5), queries, k=5).collect()

@@ -80,16 +80,7 @@ def cosine_topk(
     if not q_rows:
         # empty query set: the exact answer is the empty result; an
         # unguarded fall-through would IndexError on q_unit.shape[1]
-        spark = vectors.sparkSession
-        empty = T.StructType(
-            [
-                T.StructField(query_id, T.LongType(), False),
-                T.StructField(vec_id, T.LongType(), False),
-                T.StructField("cos", T.DoubleType(), False),
-                T.StructField("rank", T.IntegerType(), False),
-            ]
-        )
-        return spark.createDataFrame([], empty)
+        return _empty_topk(queries, vectors, query_id, vec_id)
     q_ids = np.array([r[query_id] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -192,6 +183,11 @@ def cosine_topk(
     return (
         candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        # id columns re-typed to the INPUT id types (no-op casts are
+        # optimizer-eliminated for the standard long ids) so the
+        # non-empty path's schema always matches _empty_topk's
+        .withColumn(query_id, F.col(query_id).cast(queries.schema[query_id].dataType))
+        .withColumn(vec_id, F.col(vec_id).cast(vectors.schema[vec_id].dataType))
     )
 
 
@@ -269,20 +265,25 @@ def cosine_pairs_fast(vec_a: Column, vec_b: Column) -> Column:
     return cosine_pairs_udf(vec_a, vec_b)
 
 
-def _empty_topk(spark, query_id: str, vec_id: str):
+def _empty_topk(queries, vectors, query_id: str, vec_id: str):
     """Typed empty result for a zero-row query set — shared by every
-    top-k entry point (an unguarded numpy path dies on shape (0,))."""
+    top-k entry point (an unguarded numpy path dies on shape (0,)).
+    Id column types are DERIVED from the input frames (ADVICE r5:
+    hardcoded LongType gave the empty path a different schema than the
+    non-empty path whenever ids are strings or narrower ints, so
+    downstream unions/joins behaved differently on empty query sets).
+    """
     from pyspark.sql import types as T
 
     empty = T.StructType(
         [
-            T.StructField(query_id, T.LongType(), False),
-            T.StructField(vec_id, T.LongType(), False),
+            T.StructField(query_id, queries.schema[query_id].dataType, False),
+            T.StructField(vec_id, vectors.schema[vec_id].dataType, False),
             T.StructField("cos", T.DoubleType(), False),
             T.StructField("rank", T.IntegerType(), False),
         ]
     )
-    return spark.createDataFrame([], empty)
+    return queries.sparkSession.createDataFrame([], empty)
 
 
 def lsh_cosine_topk(
@@ -316,7 +317,7 @@ def lsh_cosine_topk(
     # expansion on the driver (numpy), shipped as a broadcast join side
     q_rows = sorted(queries.select(query_id, vec_col).collect(), key=lambda r: r[query_id])
     if not q_rows:
-        return _empty_topk(vectors.sparkSession, query_id, vec_id)
+        return _empty_topk(queries, vectors, query_id, vec_id)
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     b0 = _srp_bucket_np(q_mat, planes)
     probe_rows = [
@@ -337,6 +338,11 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .drop("_qv", "_vv", "_bucket")
+        # id columns re-typed to the INPUT id types (no-op casts are
+        # optimizer-eliminated for the standard long ids) so the
+        # non-empty path's schema always matches _empty_topk's
+        .withColumn(query_id, F.col(query_id).cast(queries.schema[query_id].dataType))
+        .withColumn(vec_id, F.col(vec_id).cast(vectors.schema[vec_id].dataType))
     )
 
 
@@ -572,7 +578,7 @@ def ivf_cosine_topk(
 
     q_rows = sorted(queries.select(query_id, vec_col).collect(), key=lambda r: r[query_id])
     if not q_rows:
-        return _empty_topk(vectors.sparkSession, query_id, vec_id)
+        return _empty_topk(queries, vectors, query_id, vec_id)
     q_mat = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     sims = q_mat @ cent_norm.T
@@ -596,6 +602,11 @@ def ivf_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .drop("_qv", "_vv", "_cent")
+        # id columns re-typed to the INPUT id types (no-op casts are
+        # optimizer-eliminated for the standard long ids) so the
+        # non-empty path's schema always matches _empty_topk's
+        .withColumn(query_id, F.col(query_id).cast(queries.schema[query_id].dataType))
+        .withColumn(vec_id, F.col(vec_id).cast(vectors.schema[vec_id].dataType))
     )
 
 
