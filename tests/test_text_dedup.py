@@ -405,3 +405,20 @@ def test_hamming_block_join_bucket_cap(spark):
         df, "doc_id", "fp", max_hamming=3, blocks=4, max_bucket_size=5
     )
     assert capped.count() == 0
+    # ADVICE r5: the cap must be OBSERVABLE — dropped buckets land in
+    # the sink instead of silently reading as "no duplicates"
+    sink = []
+    capped2 = hamming_block_join(
+        df, "doc_id", "fp", max_hamming=3, blocks=4,
+        max_bucket_size=5, capped_sink=sink,
+    )
+    assert capped2.count() == 0
+    dropped = sink[0].collect()
+    assert len(dropped) == 4  # one saturated bucket per block
+    assert all(r["bucket_size"] == 6 for r in dropped)
+    assert sorted(dropped[0]["docs"]) == [0, 1, 2, 3, 4, 5]
+    # and max_bucket_size=None restores the exact uncapped contract
+    uncapped = hamming_block_join(
+        df, "doc_id", "fp", max_hamming=3, blocks=4, max_bucket_size=None
+    )
+    assert uncapped.count() == 15

@@ -447,6 +447,8 @@ def simhash_near_dups(
     blocks: int = 4,
     hash_mode: str = "fast",
     n_bits: int = 64,
+    max_bucket_size: int | None = 100_000,
+    capped_sink: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming.
 
@@ -463,6 +465,7 @@ def simhash_near_dups(
     return hamming_block_join(
         sim, id_col="doc", fp_col="simhash",
         max_hamming=max_hamming, blocks=blocks, n_bits=n_bits,
+        max_bucket_size=max_bucket_size, capped_sink=capped_sink,
     )
 
 
@@ -473,7 +476,8 @@ def hamming_block_join(
     max_hamming: int,
     blocks: int,
     n_bits: int = 64,
-    max_bucket_size: int = 100_000,
+    max_bucket_size: int | None = 100_000,
+    capped_sink: list | None = None,
 ) -> DataFrame:
     """ALL pairs of rows whose ``fp_col`` fingerprints are within
     ``max_hamming`` bits, via exact pigeonhole blocking — the generic
@@ -495,7 +499,12 @@ def hamming_block_join(
     images / short docs vote whole chunks to 0, so web-scale corpora
     concentrate one degenerate chunk value — an uncapped bucket of 1M
     rows would expand to ~5e11 pairs. A capped bucket is
-    near-identical content; route it to exact grouping instead.
+    near-identical content; route it to exact grouping instead. The
+    cap makes the documented ALL-pairs contract approximate, so it is
+    OBSERVABLE (ADVICE r5 / no-silent-caps discipline): pass
+    ``capped_sink=[]`` to receive one DataFrame of
+    (blk, chunk, bucket_size, docs) rows for every bucket the cap
+    dropped, or ``max_bucket_size=None`` for the exact uncapped join.
     """
     if blocks <= max_hamming:
         raise ValueError(
@@ -539,10 +548,19 @@ def hamming_block_join(
                 F.collect_list(F.struct(F.col("doc"), F.col("_fp")))
             ).alias("_ds")
         )
-        .filter(
-            (F.size("_ds") >= 2) & (F.size("_ds") <= max_bucket_size)
-        )
+        .filter(F.size("_ds") >= 2)
     )
+    if max_bucket_size is not None:
+        if capped_sink is not None:
+            capped_sink.append(
+                buckets.filter(F.size("_ds") > max_bucket_size).select(
+                    "blk",
+                    "chunk",
+                    F.size("_ds").alias("bucket_size"),
+                    F.col("_ds.doc").alias("docs"),
+                )
+            )
+        buckets = buckets.filter(F.size("_ds") <= max_bucket_size)
     # spread the size^2 expansion across full parallelism (see
     # minhash_lsh_candidates)
     buckets = buckets.repartition(fps.sparkSession.sparkContext.defaultParallelism)

@@ -186,6 +186,8 @@ def phash_near_dups(
     bytes_col: str = "bytes",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket_size: int | None = 100_000,
+    capped_sink: list | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs by perceptual-hash Hamming distance:
     decode -> 64-bit average-hash (Arrow kernel) -> exact pigeonhole
@@ -207,6 +209,8 @@ def phash_near_dups(
         max_hamming=max_hamming,
         blocks=blocks,
         n_bits=64,
+        max_bucket_size=max_bucket_size,
+        capped_sink=capped_sink,
     )
 
 
