@@ -687,9 +687,13 @@ def webp_decode(data: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
             else:
                 idx = ((img >> 8) & 0xFF).astype(np.int32)
             if (idx >= len(pal)).any():
-                # out-of-palette indices decode as opaque black per
-                # the tolerant convention; clamp keeps it in range
-                idx = np.clip(idx, 0, len(pal) - 1)
+                # libwebp zero-pads the palette to 256 entries, so an
+                # out-of-range index in a corrupt file decodes as
+                # TRANSPARENT black (0x00000000) — the r5 clamp to the
+                # last entry diverged from the reference (ADVICE r5)
+                padded = np.zeros((256, pal.shape[1]), dtype=pal.dtype)
+                padded[: len(pal)] = pal
+                pal = padded
             px = pal[idx]  # (h, w, 4) ARGB channels
             img = (
                 (px[..., 0].astype(np.uint32) << 24)
