@@ -268,7 +268,7 @@ def _png_unfilter_pass(raw, pos, w, h, depth, ch):
     return np.ascontiguousarray(samples), pos + need
 
 
-def png_decode(b: bytes) -> np.ndarray:
+def png_decode(b: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8 RGB. Pure stdlib+numpy: supports
     every legal IHDR combination — color types 0/2/3/4/6 (gray, RGB,
     palette, gray+A, RGBA — alpha dropped, gray broadcast, palette
@@ -276,7 +276,9 @@ def png_decode(b: bytes) -> np.ndarray:
     full range, 16-bit reduced to the high byte), all five scanline
     filters, and both interlace methods (Adam7 passes each unfilter as
     their own sub-image, then scatter into the pass grid). Chunk CRCs
-    are verified."""
+    are verified. ``max_pixels`` bounds the canvas allocation (the
+    decompression-bomb guard); raise it for legitimately larger images
+    — the same escape hatch webp_decode exposes (ADVICE r5)."""
     b = bytes(b)
     if b[:8] != PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
@@ -319,7 +321,7 @@ def png_decode(b: bytes) -> np.ndarray:
     # and IDAT must not inflate past the exact scanline budget — the
     # expected size is computable from the header, so decompress with
     # that bound instead of materializing unbounded output first
-    if w * h > (1 << 26):
+    if w * h > max_pixels:
         raise ValueError(f"PNG {w}x{h} exceeds pixel cap")
     if interlace == 0:
         passes = [(0, 0, 1, 1, w, h)]

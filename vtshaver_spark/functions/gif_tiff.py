@@ -177,7 +177,7 @@ def _gif_blocks(b: bytes, pos: int):
     return b"".join(chunks), pos
 
 
-def gif_frames(b: bytes) -> list:
+def gif_frames(b: bytes, max_pixels: int = 1 << 26) -> list:
     """Decode every frame of a GIF to full-canvas (h, w, 3) uint8 RGB
     arrays (composited; disposal 0/1 leave the canvas, 2 restores the
     background). Returns a list of frames (>= 1)."""
@@ -190,7 +190,7 @@ def gif_frames(b: bytes) -> list:
     # trigger a slow multi-hundred-MB first-touch fill (2^26 px
     # ~= 200 MB RGB — an 8192x8192 canvas, far above any real
     # animated GIF)
-    if W * H > (1 << 26):
+    if W * H > max_pixels:
         raise ValueError(f"GIF logical screen {W}x{H} exceeds pixel cap")
     packed, bg_idx, _aspect = b[10], b[11], b[12]
     pos = 13
