@@ -290,7 +290,11 @@ def _lzw_tiff_encode(data: bytes) -> bytes:
         put(table[cur], width)
         table[nxt] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1:
+        # Aldus/libtiff early change: switch AFTER adding entry
+        # 2^W - 1 (one later than the r5 convention, which drifted in
+        # lockstep with the decoder's matching off-by-one and was only
+        # caught by the libtiff cross-decode fixture — ADVICE r5)
+        if next_code == (1 << width):
             if width < 12:
                 width += 1
             else:  # table full: clear and restart
@@ -304,6 +308,29 @@ def _lzw_tiff_encode(data: bytes) -> bytes:
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
+
+
+def test_tiff_lzw_decodes_libtiff_fixture():
+    """Cross-decode gate (ADVICE r5): tests/data/lzw_libtiff.tif was
+    written by the system libtiff.so.6 (LZW, RGB, one strip) over the
+    deterministic pattern below, whose dictionary crosses the 9->10
+    bit early-change boundary. The r5 decoder failed on it with
+    'code 618 beyond table' (its width bump sat one entry early, and
+    the in-repo test encoder shared the same shifted convention, so
+    roundtrips could not catch the drift). The fixture pins the
+    Aldus/libtiff convention independently of our encoder."""
+    import os
+
+    h, w = 64, 96
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx // 8) * 16 + (yy // 8) * 32) % 256
+    arr = np.stack(
+        [base, (base + 85) % 256, (xx * 3 + yy * 7) % 256], axis=2
+    ).astype(np.uint8)
+    path = os.path.join(os.path.dirname(__file__), "data", "lzw_libtiff.tif")
+    out = tiff_decode(open(path, "rb").read())
+    assert out.shape == (h, w, 3)
+    assert (out == arr).all()
 
 
 def test_tiff_lzw_rgb_roundtrip():

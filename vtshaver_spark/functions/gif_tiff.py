@@ -370,12 +370,15 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
         else:
             raise ValueError(f"TIFF LZW: code {code} beyond table")
         out += entry
-        # early change: the encoder bumps when ITS table reaches
-        # 2^width - 1; the decoder materializes entries one code later
-        # (it can't build the just-emitted code's entry until the next
-        # code arrives), so it must bump one entry earlier — at
-        # len(table) == 2^width - 2
-        if len(table) == (1 << width) - 2 and width < 12:
+        # early change (Aldus/libtiff convention, ADVICE r5): the
+        # encoder switches width after adding entry 2^w - 1 (its table
+        # then holds 2^w entries); the decoder materializes entries
+        # one code later, so it switches when ITS table reaches
+        # 2^w - 1. The previous 2^w - 2 threshold desynced against
+        # real libtiff streams whose dictionary crossed ~510 entries
+        # (verified here against a libtiff.so-written fixture,
+        # tests/data/lzw_libtiff.tif).
+        if len(table) == (1 << width) - 1 and width < 12:
             width += 1
         prev = entry
     return bytes(out[:expect])
