@@ -57,7 +57,12 @@ def main():
             ).drop("_rep")
         return df
 
-    # mirrors bench.py's corpus construction exactly
+    # mirrors bench.py's corpus construction exactly — a deliberate
+    # COPY, not an import: bench.py is frozen for measurement (the
+    # driver diffs it against round-start fingerprints) so it cannot
+    # be refactored to export a shared helper. If bench.py's corpus
+    # synthesis ever changes in a build round, update this block to
+    # match or per-leg probes stop predicting headline results.
     images = _replicate(spark.table("images_v"), replicate, n_part).cache()
     images.count()
     features = _replicate(features_with_props(spark), replicate, n_part).cache()

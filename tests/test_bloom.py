@@ -110,6 +110,15 @@ def test_bloom_anti_join_normal_sizing_matches_plain_anti(spark):
     )
     assert got == expected
     assert len(got) == 200  # i % 3 != 0 rows survive
+    # the big-reference sliver shape (negatives bypass the verify
+    # join; only bloom-positives join) must return the identical set
+    sliver = sorted(
+        r["doc_id"]
+        for r in bloom_anti_join(
+            big, ref, key, fpp=0.01, broadcast_ref_keys=0
+        ).collect()
+    )
+    assert sliver == expected
 
 
 def test_bloom_anti_join_empty_reference(spark):

@@ -158,6 +158,30 @@ def test_s2_column_matches_numpy(spark):
         assert [got[i] for i in range(len(lons))] == want.tolist()
 
 
+def test_s2_column_out_replacement_and_temp_collision(spark):
+    """Re-encoding must REPLACE an existing out column in place (the
+    withColumn contract the r6 SQL-string builder has to preserve),
+    and input columns colliding with the _s2* temporaries must raise
+    instead of being silently consumed."""
+    import pytest as _pytest
+
+    from vtshaver_spark.functions.s2 import with_s2_cell, with_s2_cell_col
+
+    df = spark.createDataFrame(
+        [("a", -122.4, 37.77)], "id string, lon double, lat double"
+    )
+    once = with_s2_cell(df, level=10)
+    twice = with_s2_cell(once, level=12)
+    assert twice.columns == ["id", "lon", "lat", "cell_s2"]  # no dup
+    direct = with_s2_cell(df, level=12)
+    assert (
+        twice.select("cell_s2").first()[0]
+        == direct.select("cell_s2").first()[0]
+    )
+    with _pytest.raises(ValueError, match="_s2x"):
+        with_s2_cell_col(df.withColumnRenamed("id", "_s2x"), level=10)
+
+
 def test_s2_column_plan_is_codegen(spark):
     """Plan contract for the Column path: no Arrow/Python eval node
     anywhere — the encode must live inside WholeStageCodegen."""

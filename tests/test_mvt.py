@@ -492,6 +492,21 @@ def test_mvt_features_udtf(spark):
     assert out["poi_label"] == 13 and len(out) == 7
 
 
+def test_decode_tiles_carry_order_independent(spark):
+    """mapInArrow binds output columns to the declared schema BY
+    POSITION (r6): a tiles frame whose column order differs from
+    carry_cols must still land each carry value in its own column —
+    the schema must follow carry order, not df.schema order."""
+    with open(SF_TILE, "rb") as f:
+        good = f.read()
+    tiles = spark.createDataFrame(
+        [(7, 9, 16, bytearray(good))],
+        "x bigint, y bigint, z bigint, tile binary",  # NOT (z, x, y)
+    )
+    row = decode_tiles(tiles).select("z", "x", "y").first()
+    assert (row["z"], row["x"], row["y"]) == (16, 7, 9)
+
+
 def test_decode_tiles_on_error_skip(spark):
     with open(SF_TILE, "rb") as f:
         good = f.read()

@@ -163,6 +163,19 @@ def with_s2_cell_col(
     # (numpy parity pinned in tests/test_geo.py, tile_cell_ids oracle
     # green, plan diff: identical Project layering).
 
+    _TEMPS = (
+        "_s2x", "_s2y", "_s2z", "_s2f", "_s2i", "_s2j", "_s2d",
+        "_s2s", "_s2k",
+    )
+    clash = set(_TEMPS) & set(df.columns)
+    if clash:
+        # the old withColumn form silently REPLACED (and then dropped)
+        # such input columns — an explicit error is the honest contract
+        raise ValueError(
+            f"with_s2_cell_col: input columns {sorted(clash)} collide "
+            "with the encoder's internal _s2* temporaries; rename them"
+        )
+
     # radians via explicit multiply (numpy's deg2rad is a constant
     # multiply; JVM Math.toRadians divides first — different last-ulp)
     d2r = repr(math.pi / 180.0) + "D"
@@ -170,16 +183,18 @@ def with_s2_cell_col(
 
     q = ["{df}"]  # innermost FROM: the input DataFrame, substituted by spark.sql
 
-    def layer(frame, keep, *exprs):
+    # pure string builder, called for its effect on q[0] — every layer
+    # (including the last) appends one SELECT wrapper; the single
+    # spark.sql call at the end materializes the chain
+    def layer(keep, *exprs):
         q[0] = (
             f"SELECT {', '.join(list(keep) + list(exprs))} FROM "
             + (q[0] if q[0] == "{df}" else f"({q[0]})")
         )
-        return frame
 
     ln, lt = f"`{lon}`", f"`{lat}`"
-    df = layer(
-        df, base_cols,
+    layer(
+        base_cols,
         f"cos({lt} * {d2r}) * cos({ln} * {d2r}) AS _s2x",
         f"cos({lt} * {d2r}) * sin({ln} * {d2r}) AS _s2y",
         f"sin({lt} * {d2r}) AS _s2z",
@@ -191,7 +206,7 @@ def with_s2_cell_col(
         "THEN (CASE WHEN _s2y >= 0 THEN 1 ELSE 4 END) "
         "ELSE (CASE WHEN _s2z >= 0 THEN 2 ELSE 5 END) END) END AS BIGINT)"
     )
-    df = layer(df, base_cols + ["_s2x", "_s2y", "_s2z"], f"{face} AS _s2f")
+    layer(base_cols + ["_s2x", "_s2y", "_s2z"], f"{face} AS _s2f")
 
     u = (
         "CASE WHEN _s2f = 0 THEN _s2y / _s2x WHEN _s2f = 1 THEN -_s2x / _s2y "
@@ -218,8 +233,8 @@ def with_s2_cell_col(
             f"CAST(0 AS BIGINT)), CAST({n - 1} AS BIGINT))"
         )
 
-    df = layer(
-        df, base_cols + ["_s2x", "_s2y", "_s2z", "_s2f"],
+    layer(
+        base_cols + ["_s2x", "_s2y", "_s2z", "_s2f"],
         f"{ij(st(u))} AS _s2i", f"{ij(st(v))} AS _s2j",
     )
 
@@ -239,29 +254,36 @@ def with_s2_cell_col(
     # tests/test_geo.py.
     DT, NT = 0x1E369CB4, 0xB7CA5C21
     carry = base_cols + ["_s2x", "_s2y", "_s2z", "_s2f", "_s2i", "_s2j"]
-    df = layer(
-        df, carry,
-        "CAST(0 AS BIGINT) AS _s2d", "CAST(0 AS BIGINT) AS _s2s",
-    )
+    layer(carry, "CAST(0 AS BIGINT) AS _s2d", "CAST(0 AS BIGINT) AS _s2s")
     for b in range(level - 1, -1, -1):
-        df = layer(
-            df, carry + ["_s2d", "_s2s"],
+        layer(
+            carry + ["_s2d", "_s2s"],
             "CAST((shiftleft(_s2s, 3) + shiftleft(shiftright(_s2i, "
             f"{b}) & 1, 2) + shiftleft(shiftright(_s2j, {b}) & 1, 1)) "
             "AS INT) AS _s2k",
         )
-        df = layer(
-            df, carry + ["_s2k"],
+        layer(
+            carry + ["_s2k"],
             f"shiftleft(_s2d, 2) | (shiftright({DT}, _s2k) & 3) AS _s2d",
             f"CAST(shiftright({NT}, _s2k) & 3 AS BIGINT) AS _s2s",
         )
 
     shift = 2 * (MAX_LEVEL - level) + 1
-    layer(
-        df, base_cols,
+    cell = (
         f"shiftleft(_s2f, 61) | shiftleft(_s2d, {shift}) | "
-        f"{1 << (shift - 1)}L AS `{out}`",
+        f"{1 << (shift - 1)}L"
     )
+    if out in df.columns:
+        # mimic withColumn's replace-in-place: the new expression takes
+        # the existing column's position instead of appending a
+        # duplicate name (re-encoding at another level is legal)
+        final = [
+            f"{cell} AS `{out}`" if c == out else f"`{c}`"
+            for c in df.columns
+        ]
+    else:
+        final = base_cols + [f"{cell} AS `{out}`"]
+    layer(final)
     return df.sparkSession.sql(q[0], df=df)
 
 

@@ -138,6 +138,7 @@ def bloom_anti_join(
     key_expr,
     fpp: float = 0.01,
     expected_items: int | None = None,
+    broadcast_ref_keys: int = 5_000_000,
 ) -> DataFrame:
     """Rows of ``big`` whose key appears in no ``ref`` row — exact
     anti-join semantics, Bloom-pruned execution.
@@ -146,6 +147,14 @@ def bloom_anti_join(
     both sides (e.g. ``lambda: F.md5("text")``); it must reference
     columns present in both frames. ``expected_items`` sizes the
     filter without an extra count() action (defaults to ref.count()).
+    ``broadcast_ref_keys`` picks the verify-join shape: up to that
+    many reference keys the verify is ONE broadcast LeftAnti over the
+    whole probed stream; above it the reference is too big to
+    broadcast and a planner-chosen join on the full big side would
+    shuffle the corpus, so the verify reverts to the sliver shape —
+    bloom-negative rows bypass the join entirely and only the
+    fpp-sized positive stream joins (at the cost of running the
+    map-only scan+probe twice).
     """
     # expected_items is a SIZING HINT only: non-positive values (a
     # plausible "unknown size" sentinel) must not disable dedup, so
@@ -177,7 +186,15 @@ def bloom_anti_join(
     #     residual condition. Result rows are IDENTICAL for any filter
     #     contents — the bloom is pruning, not semantics.
     spark = big.sparkSession
-    bm_df = spark.createDataFrame([(bitmap.tolist(),)], "_bm array<bigint>")
+    # one-row Arrow table: shipping via .tolist() would materialize the
+    # filter as a Python int list (~0.5 GB of PyObject overhead at the
+    # 2^30-bit cap) before pickling; the Arrow path wraps the numpy
+    # words without per-element conversion
+    import pyarrow as pa
+
+    bm_df = spark.createDataFrame(
+        pa.table({"_bm": pa.array([bitmap], type=pa.list_(pa.int64()))})
+    )
 
     def probe(j: int) -> str:
         pos = f"((_h1 + {j} * _h2) & {mask})"
@@ -198,11 +215,27 @@ def bloom_anti_join(
         .drop("_bm", "_h1", "_h2")
     )
     ref_keys = ref.select(key_expr().alias("_rk")).distinct()
-    return (
-        flagged.join(
-            ref_keys,
-            on=F.col("_maybe") & (F.col("_bk") == F.col("_rk")),
-            how="left_anti",
+    if n <= broadcast_ref_keys:
+        # single pass: the hint pins BroadcastHashJoin — without it a
+        # size misestimate could plan a SortMergeJoin that shuffles
+        # the ENTIRE probed corpus on _bk (the trap this operator
+        # exists to avoid); bloom-negative rows probe the broadcast
+        # relation once and pass through
+        return (
+            flagged.join(
+                F.broadcast(ref_keys),
+                on=F.col("_maybe") & (F.col("_bk") == F.col("_rk")),
+                how="left_anti",
+            )
+            .drop("_bk", "_maybe")
         )
+    # non-broadcastable reference: keep the corpus out of the shuffle —
+    # negatives bypass the join, only the fpp-sized positive sliver
+    # joins (second scan+probe pass is map-only)
+    clean = flagged.filter(~F.col("_maybe")).drop("_bk", "_maybe")
+    suspects = (
+        flagged.filter(F.col("_maybe"))
+        .join(ref_keys.withColumnRenamed("_rk", "_bk"), on="_bk", how="left_anti")
         .drop("_bk", "_maybe")
     )
+    return clean.unionByName(suspects)

@@ -189,7 +189,10 @@ def minhash_lsh_candidates(
         # one selectExpr (r6): the Column form of the banded struct
         # array cost ~150 py4j round trips of driver time per call;
         # inline() explodes the struct array straight into the same
-        # (band, bucket) columns
+        # (band, bucket) columns. The literal xxhash64 below IS
+        # _bucket_hash's fast mode spelled as SQL — if that helper's
+        # fast branch ever changes, this string must change with it
+        # (the portable branch below still routes through the helper)
         structs = ", ".join(
             "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {parts})))".format(
                 b=b,

@@ -526,8 +526,14 @@ def decode_tiles(
         raise ValueError("on_error must be 'fail' or 'skip'")
 
     carry = [c for c in carry_cols if c in df.columns]
+    # mapInArrow binds emitted record-batch columns to this schema BY
+    # POSITION (unlike mapInPandas, which assigned by name), so the
+    # declared carry fields must follow `carry` order — iterating
+    # df.schema here would silently swap carry values whenever the
+    # input column order differs from carry_cols
+    fields = {f.name: f for f in df.schema.fields}
     carry_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in carry
+        f"{c} {fields[c].dataType.simpleString()}" for c in carry
     )
     schema = (carry_schema + ", " if carry_schema else "") + MVT_ROW_SCHEMA
 
